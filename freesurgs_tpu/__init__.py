@@ -1,0 +1,25 @@
+"""freesurgs_tpu — a TPU-native SfM-free 3D Gaussian Splatting framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+wrld/Free-SurGS (MICCAI 2024): joint camera-pose + 3D-Gaussian scene
+optimization from monocular surgical video, with a tile-based
+differentiable rasterizer implemented as Pallas TPU kernels, jitted
+tracking/mapping/global-refinement loops, fixed-capacity densification
+under jit, and mesh-sharded multi-chip rendering.
+
+Package layout (see SURVEY.md section 7 for the design rationale):
+
+- ``core``      camera models, SE(3)/quaternion transforms, spherical harmonics
+- ``ops``       compute kernels: projection, tile binning, Pallas rasterizer,
+                reference (oracle) rasterizer, KNN, SSIM
+- ``models``    learnable state pytrees: GaussianField, PoseTable
+- ``train``     losses, optimizers/schedules, densification, tracking /
+                mapping / global loops, orchestrator
+- ``parallel``  device mesh + sharded rendering / training step
+- ``data``      SCARED-format dataset loader + synthetic test scenes
+- ``eval``      image metrics (PSNR/SSIM/LPIPS) and pose metrics (ATE/RPE)
+- ``io``        checkpointing (orbax), PLY import/export, config
+- ``viz``       optional web viewer (gated on viser availability)
+"""
+
+__version__ = "0.1.0"

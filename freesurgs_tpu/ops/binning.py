@@ -10,15 +10,17 @@ Pipeline (all shapes static, jit-safe):
  1. sort Gaussians front-to-back by camera depth (culled -> +inf keys);
  2. expand each Gaussian into one *instance* per covered tile, using
     exclusive-cumsum offsets + searchsorted to map a flat instance slot back
-    to (gaussian, covered-tile-cell); capacity ``max_instances`` with
-    overflow counting (deepest instances dropped first, since expansion is
-    in depth order);
+    to (gaussian, covered-tile-cell);
  3. stable-sort instances by tile id — stability preserves the front-to-back
     depth order within each tile, exactly like the CUDA (tile | depth) key
     radix sort;
- 4. per-tile (start, count) ranges via searchsorted.
+ 4. re-pack each tile's run at a CHUNK-aligned offset (padding slots point
+    at a dummy all-zero Gaussian). Alignment lets the Pallas kernels DMA
+    (16, CHUNK) lane-aligned blocks, and makes every tile's backward
+    gradient writes disjoint — no inter-tile write ordering hazards.
 
-The compositing kernels then walk each tile's contiguous instance range.
+Capacity is ``max_instances`` (a CHUNK multiple); overflowing instances are
+dropped deepest-first (expansion is in depth order) and counted.
 """
 
 from __future__ import annotations
@@ -29,22 +31,24 @@ import jax.numpy as jnp
 
 from .projection import ProjectedGaussians
 
+CHUNK = 128  # instances per kernel step; lane-dim alignment quantum
+
 
 class TileBins(NamedTuple):
-    order: jnp.ndarray         # (N,) gaussian index by ascending depth
-    gather_idx: jnp.ndarray    # (M,) instance -> original gaussian index
-                               #      (== n for padding slots, n = num gaussians)
-    tile_of_instance: jnp.ndarray  # (M,) tile id (== num_tiles for padding)
-    tile_start: jnp.ndarray    # (T,) int32 start into the instance buffer
-    tile_count: jnp.ndarray    # (T,) int32 instances in tile
-    num_instances: jnp.ndarray  # () int32 total kept instances
-    overflow: jnp.ndarray      # () int32 dropped instances (capacity overflow)
+    gather_idx: jnp.ndarray    # (M,) instance slot -> original gaussian index
+                               #      (== n for padding/empty slots)
+    tile_start: jnp.ndarray    # (T,) int32 CHUNK-aligned start per tile
+    tile_count: jnp.ndarray    # (T,) int32 real instances in tile
+    num_instances: jnp.ndarray  # () int32 total kept (real) instances
+    overflow: jnp.ndarray      # () int32 dropped instances
 
 
 def build_tile_bins(proj: ProjectedGaussians, grid_x: int, grid_y: int,
                     max_instances: int) -> TileBins:
+    assert max_instances % CHUNK == 0, "max_instances must be CHUNK-aligned"
     n = proj.depth.shape[0]
     num_tiles = grid_x * grid_y
+    m = max_instances
 
     sort_key = jnp.where(proj.radius > 0, proj.depth, jnp.inf)
     order = jnp.argsort(sort_key, stable=True)
@@ -52,10 +56,10 @@ def build_tile_bins(proj: ProjectedGaussians, grid_x: int, grid_y: int,
     rect = proj.tile_rect[order]                # (N, 4) tx0, ty0, tx1, ty1
     counts = proj.tiles_touched[order]          # (N,)
     offsets = jnp.cumsum(counts)                # inclusive
-    total = offsets[-1] if n > 0 else jnp.int32(0)
+    total = offsets[-1]
     offsets_excl = offsets - counts
 
-    slots = jnp.arange(max_instances, dtype=jnp.int32)
+    slots = jnp.arange(m, dtype=jnp.int32)
     # Which depth-sorted gaussian owns flat instance slot j?
     g = jnp.searchsorted(offsets, slots, side="right").astype(jnp.int32)
     g_safe = jnp.minimum(g, n - 1)
@@ -64,23 +68,43 @@ def build_tile_bins(proj: ProjectedGaussians, grid_x: int, grid_y: int,
     width_g = jnp.maximum(rect_g[:, 2] - rect_g[:, 0], 1)
     tile_y = rect_g[:, 1] + local // width_g
     tile_x = rect_g[:, 0] + local % width_g
-    slot_valid = slots < jnp.minimum(total, max_instances)
+    kept = jnp.minimum(total, m).astype(jnp.int32)
+    slot_valid = slots < kept
     tile_id = jnp.where(slot_valid, tile_y * grid_x + tile_x, num_tiles)
 
     # Stable sort by tile id; within a tile the depth order is preserved.
     perm = jnp.argsort(tile_id, stable=True)
-    tile_sorted = tile_id[perm]
-    gather_idx = jnp.where(tile_sorted < num_tiles,
-                           order[g_safe[perm]], n).astype(jnp.int32)
+    tile_sorted = tile_id[perm]                  # (M,)
+    g_orig = order[g_safe[perm]].astype(jnp.int32)
 
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
-    tile_start = jnp.searchsorted(tile_sorted, tile_ids,
-                                  side="left").astype(jnp.int32)
-    tile_end = jnp.searchsorted(tile_sorted, tile_ids,
-                                side="right").astype(jnp.int32)
-    kept = jnp.minimum(total, max_instances).astype(jnp.int32)
-    return TileBins(order=order, gather_idx=gather_idx,
-                    tile_of_instance=tile_sorted,
-                    tile_start=tile_start, tile_count=tile_end - tile_start,
-                    num_instances=kept,
-                    overflow=(total - kept).astype(jnp.int32))
+    raw_start = jnp.searchsorted(tile_sorted, tile_ids,
+                                 side="left").astype(jnp.int32)
+    raw_end = jnp.searchsorted(tile_sorted, tile_ids,
+                               side="right").astype(jnp.int32)
+    raw_count = raw_end - raw_start
+
+    # CHUNK-aligned repacking.
+    padded_count = -(-raw_count // CHUNK) * CHUNK
+    padded_start = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(padded_count)[:-1]])
+    # Clamp tiles that no longer fit after alignment padding.
+    fit_count = jnp.clip(m - padded_start, 0, raw_count)
+
+    # Scatter each sorted raw instance to its aligned position.
+    in_tile = tile_sorted < num_tiles
+    key_safe = jnp.minimum(tile_sorted, num_tiles - 1)
+    rank = jnp.arange(m, dtype=jnp.int32) - raw_start[key_safe]
+    pos = padded_start[key_safe] + rank
+    keep = in_tile & (rank < fit_count[key_safe]) & (pos < m)
+    pos_safe = jnp.where(keep, pos, m)  # dropped -> scratch slot m
+    gather_idx = jnp.full((m + 1,), n, jnp.int32)
+    gather_idx = gather_idx.at[pos_safe].set(
+        jnp.where(keep, g_orig, n))[:m]
+
+    kept_final = jnp.sum(fit_count).astype(jnp.int32)
+    return TileBins(gather_idx=gather_idx,
+                    tile_start=padded_start,
+                    tile_count=fit_count,
+                    num_instances=kept_final,
+                    overflow=(total - kept_final).astype(jnp.int32))

@@ -31,6 +31,7 @@ CPU fallback implementation, and the small-scale path in tests.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .projection import TILE, ProjectedGaussians
@@ -101,7 +102,8 @@ def rasterize_oracle(proj: ProjectedGaussians, colors: jnp.ndarray,
     abar = jnp.where(composable, alpha, 0.0)
 
     weights, T_final = composite_order_weights(abar)
-    image = jnp.einsum("np,nc->cp", weights, cols)
+    image = jnp.einsum("np,nc->cp", weights, cols,
+                       precision=jax.lax.Precision.HIGHEST)
     image = image + T_final[None, :] * bg[:, None]
     return {
         "image": image.reshape(nch, height, width),

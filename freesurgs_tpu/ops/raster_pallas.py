@@ -1,0 +1,432 @@
+"""Pallas TPU tile-compositing kernels for 3D Gaussian Splatting.
+
+TPU-native replacement for the CUDA per-tile forward/backward rasterizer
+(reference native component N1, SURVEY.md section 2.1). Design departures
+from the CUDA kernel, chosen for TPU hardware:
+
+- The sequential per-pixel front-to-back blend loop becomes a closed-form
+  computation in log-transmittance space: per chunk of ``CHUNK`` instances,
+  alphas for all 256 tile pixels are evaluated at once on the VPU
+  (pixels on sublanes, instances on lanes), prefix transmittances come from
+  a triangular matmul on the MXU (a (256, CHUNK) @ (CHUNK, CHUNK) cumsum),
+  and channel accumulation is another MXU matmul. See ``ops/oracle.py`` for
+  the algebra and the CUDA-parity stopping semantics; both implementations
+  share it, so oracle == pallas to float reassociation.
+
+- One fused pass renders 6 channels [r, g, b, z, silhouette, z^2] plus the
+  final transmittance, replacing the reference's *two* rasterizer calls per
+  render (``gaussian_renderer/__init__.py:68-69``).
+
+- The backward pass needs no back-to-front traversal: with the saved
+  forward totals, suffix sums are (total - prefix), again cumsum matmuls.
+  Gradients to camera poses happen outside these kernels via jnp autodiff
+  through the projection stage.
+
+Instance data is struct-of-arrays ``feat[16, M]`` (fields x instances), with
+per-tile runs CHUNK-aligned by the binner so every DMA is a lane-aligned
+(16, CHUNK) block and every tile's backward writes are disjoint. Field rows:
+  0 mean2d.x | 1 mean2d.y | 2 conic.a | 3 conic.b | 4 conic.c | 5 opacity
+  6 r | 7 g | 8 b | 9 z | 10..15 zero padding
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .binning import CHUNK, build_tile_bins
+from .oracle import ALPHA_MAX, ALPHA_MIN, T_EPS
+from .projection import TILE, ProjectedGaussians
+
+N_PIX = TILE * TILE  # 256 pixels per tile
+N_OUT = 8            # [r, g, b, z, sil, z^2, T_final, unused]
+FEAT_DIM = 16
+
+
+class RasterConfig(NamedTuple):
+    height: int
+    width: int
+    max_instances: int
+    interpret: bool
+
+    @property
+    def grid_x(self) -> int:
+        return -(-self.width // TILE)
+
+    @property
+    def grid_y(self) -> int:
+        return -(-self.height // TILE)
+
+    @property
+    def num_tiles(self) -> int:
+        return self.grid_x * self.grid_y
+
+
+def _tri_incl(dtype=jnp.float32):
+    """(CHUNK, CHUNK) mask with U[j, i] = (j <= i): x @ U == cumsum(x)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
+    return (row <= col).astype(dtype)
+
+
+def _tile_pixels(t, grid_x):
+    """Pixel coordinates (2 x (N_PIX, 1)) of tile t, row-major within tile."""
+    ty = t // grid_x
+    tx = t % grid_x
+    p = jax.lax.broadcasted_iota(jnp.int32, (N_PIX, 1), 0)
+    pixx = (tx * TILE + p % TILE).astype(jnp.float32)
+    pixy = (ty * TILE + p // TILE).astype(jnp.float32)
+    return pixx, pixy
+
+
+def _matmul(a, b, contract):
+    # HIGHEST: force true-f32 MXU passes. The default TPU matmul precision
+    # truncates operands to bf16, which is catastrophic for the
+    # log-transmittance cumsums (values up to ~|log(1-0.99)| * chunk).
+    return jax.lax.dot_general(a, b, (contract, ((), ())),
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)
+
+
+def _chunk_alpha(f, pixx, pixy):
+    """Per-chunk alpha evaluation shared by fwd/bwd.
+
+    f: (FEAT_DIM, CHUNK) block. Returns (N_PIX, CHUNK) arrays.
+    Padding slots have opacity 0, hence abar 0 — no masking needed.
+    """
+    mx, my = f[0:1, :], f[1:2, :]
+    ca, cb, cc = f[2:3, :], f[3:4, :], f[4:5, :]
+    opac = f[5:6, :]
+    dx = mx - pixx          # (N_PIX, CHUNK) via broadcast
+    dy = my - pixy
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    expp = jnp.exp(power)
+    raw = opac * expp
+    alpha = jnp.minimum(ALPHA_MAX, raw)
+    ok = (power <= 0.0) & (alpha >= ALPHA_MIN)
+    abar = jnp.where(ok, alpha, 0.0)
+    return abar, raw, expp, dx, dy
+
+
+def _chunk_weights(abar, log_T, done, tri):
+    """Compositing weights + carry updates for one chunk (see oracle.py).
+
+    abar: (N_PIX, CHUNK); log_T, done: (N_PIX, 1) carries.
+    """
+    log1m = jnp.log1p(-abar)
+    cum_incl = _matmul(log1m, tri, ((1,), (0,)))
+    cum_excl = cum_incl - log1m
+    T_pre = jnp.exp(log_T + cum_excl)
+    contributes = abar > 0
+    crossed = contributes & (T_pre * (1.0 - abar) < T_EPS)
+    crossed_cum = _matmul(crossed.astype(jnp.float32), tri, ((1,), (0,)))
+    valid = contributes & jnp.logical_not(done) & (crossed_cum < 0.5)
+    w = jnp.where(valid, abar * T_pre, 0.0)
+    new_log_T = log_T + jnp.sum(jnp.where(valid, log1m, 0.0), axis=1,
+                                keepdims=True)
+    new_done = done | (jnp.max(crossed.astype(jnp.float32), axis=1,
+                               keepdims=True) > 0.0)
+    return w, T_pre, valid, abar, new_log_T, new_done
+
+
+def _chunk_channels(f):
+    """(N_OUT, CHUNK) channel value rows [r, g, b, z, 1, z^2, 0, 0]."""
+    z = f[9:10, :]
+    ones = jnp.ones_like(z)
+    zeros = jnp.zeros_like(z)
+    return jnp.concatenate(
+        [f[6:7, :], f[7:8, :], f[8:9, :], z, ones, z * z, zeros, zeros],
+        axis=0)
+
+
+# ---------------------------------------------------------------- forward
+
+def _fwd_kernel(grid_x: int, meta_ref, feat_hbm, out_ref, buf, sems,
+                acc_s, logT_s, done_s):
+    t = pl.program_id(0)
+    start = meta_ref[t, 0]
+    count = meta_ref[t, 1]
+    n_chunks = pl.cdiv(count, CHUNK)
+    pixx, pixy = _tile_pixels(t, grid_x)
+    tri = _tri_incl()
+
+    # Accumulators live in VMEM scratch (persisting vreg loop carries is
+    # brittle under Mosaic layout legalization); scratch persists across
+    # grid steps, so reset explicitly.
+    acc_s[:, :] = jnp.zeros((N_PIX, N_OUT), jnp.float32)
+    logT_s[:, :] = jnp.zeros((N_PIX, 1), jnp.float32)
+    done_s[:, :] = jnp.zeros((N_PIX, 1), jnp.float32)
+
+    def get_dma(slot, k):
+        off = pl.multiple_of(start + k * CHUNK, CHUNK)
+        return pltpu.make_async_copy(
+            feat_hbm.at[:, pl.ds(off, CHUNK)],
+            buf.at[slot], sems.at[slot])
+
+    @pl.when(n_chunks > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def body(k, _):
+        slot = k % 2
+
+        @pl.when(k + 1 < n_chunks)
+        def _():
+            get_dma((k + 1) % 2, k + 1).start()
+
+        get_dma(slot, k).wait()
+        f = buf[slot]
+        abar, _, _, _, _ = _chunk_alpha(f, pixx, pixy)
+        w, _, _, _, log_T, done = _chunk_weights(
+            abar, logT_s[:, :], done_s[:, :] > 0.0, tri)
+        cf8 = _chunk_channels(f)                       # (N_OUT, CHUNK)
+        acc_s[:, :] += _matmul(w, cf8, ((1,), (1,)))   # (N_PIX, N_OUT)
+        logT_s[:, :] = log_T
+        done_s[:, :] = done.astype(jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+    out_ref[0, :, 0:6] = acc_s[:, 0:6]
+    out_ref[0, :, 6:7] = jnp.exp(logT_s[:, :])
+    out_ref[0, :, 7:8] = jnp.zeros((N_PIX, 1), jnp.float32)
+
+
+def _run_fwd(feat, meta, cfg: RasterConfig):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(cfg.num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, N_PIX, N_OUT), lambda t, meta: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, FEAT_DIM, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((N_PIX, N_OUT), jnp.float32),
+            pltpu.VMEM((N_PIX, 1), jnp.float32),
+            pltpu.VMEM((N_PIX, 1), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, cfg.grid_x),
+        out_shape=jax.ShapeDtypeStruct((cfg.num_tiles, N_PIX, N_OUT),
+                                       jnp.float32),
+        grid_spec=grid_spec,
+        interpret=cfg.interpret,
+    )(meta, feat)
+
+
+# --------------------------------------------------------------- backward
+
+def _bwd_kernel(grid_x: int, meta_ref, feat_hbm, out_saved_ref, gout_ref,
+                dfeat_hbm, buf, dbuf, sems, wsem, logT_s, done_s, gcarry_s):
+    t = pl.program_id(0)
+    start = meta_ref[t, 0]
+    count = meta_ref[t, 1]
+    n_chunks = pl.cdiv(count, CHUNK)
+    pixx, pixy = _tile_pixels(t, grid_x)
+    tri = _tri_incl()
+
+    g8 = gout_ref[0]                      # (N_PIX, N_OUT)
+    out8 = out_saved_ref[0]
+    g_T = g8[:, 6:7]
+    T_fin = out8[:, 6:7]
+    # sum_ch g_ch * total_ch over the 6 real channels
+    t0 = jnp.sum(g8[:, 0:6] * out8[:, 0:6], axis=1, keepdims=True)
+
+    def get_dma(slot, k):
+        off = pl.multiple_of(start + k * CHUNK, CHUNK)
+        return pltpu.make_async_copy(
+            feat_hbm.at[:, pl.ds(off, CHUNK)],
+            buf.at[slot], sems.at[slot])
+
+    @pl.when(n_chunks > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    logT_s[:, :] = jnp.zeros((N_PIX, 1), jnp.float32)
+    done_s[:, :] = jnp.zeros((N_PIX, 1), jnp.float32)
+    gcarry_s[:, :] = jnp.zeros((N_PIX, 1), jnp.float32)
+
+    def body(k, _):
+        slot = k % 2
+
+        @pl.when(k + 1 < n_chunks)
+        def _():
+            get_dma((k + 1) % 2, k + 1).start()
+
+        get_dma(slot, k).wait()
+        f = buf[slot]
+        abar, raw, expp, dx, dy = _chunk_alpha(f, pixx, pixy)
+        w, T_pre, valid, abar, log_T, done = _chunk_weights(
+            abar, logT_s[:, :], done_s[:, :] > 0.0, tri)
+        logT_s[:, :] = log_T
+        done_s[:, :] = done.astype(jnp.float32)
+        cf8 = _chunk_channels(f)                        # (N_OUT, CHUNK)
+        # cg[p, i] = sum_ch c_i_ch g_ch_p
+        cg = _matmul(g8, cf8, ((1,), (0,)))             # (N_PIX, CHUNK)
+        wcg = w * cg
+        cum_wcg = _matmul(wcg, tri, ((1,), (0,)))
+        gS = t0 - gcarry_s[:, :] - cum_wcg
+        denom = 1.0 - abar
+        dalpha = jnp.where(valid,
+                           cg * T_pre - (gS + g_T * T_fin) / denom, 0.0)
+        opac = f[5:6, :]
+        clamp_ok = (raw < ALPHA_MAX).astype(jnp.float32)
+        dG = dalpha * opac * clamp_ok
+        dpow = dG * expp
+        ca, cb, cc = f[2:3, :], f[3:4, :], f[4:5, :]
+
+        def psum(x):  # reduce over pixels -> (1, CHUNK)
+            return jnp.sum(x, axis=0, keepdims=True)
+
+        dmx = psum(dpow * (-ca * dx - cb * dy))
+        dmy = psum(dpow * (-cc * dy - cb * dx))
+        dA = psum(dpow * (-0.5 * dx * dx))
+        dB = psum(dpow * (-dx * dy))
+        dC = psum(dpow * (-0.5 * dy * dy))
+        dop = psum(dalpha * expp * clamp_ok)
+        dr = psum(w * g8[:, 0:1])
+        dg = psum(w * g8[:, 1:2])
+        db = psum(w * g8[:, 2:3])
+        z = f[9:10, :]
+        dz = psum(w * (g8[:, 3:4] + g8[:, 5:6] * (2.0 * z)))
+        zero = jnp.zeros_like(dmx)
+        dout = jnp.concatenate(
+            [dmx, dmy, dA, dB, dC, dop, dr, dg, db, dz,
+             zero, zero, zero, zero, zero, zero], axis=0)  # (FEAT_DIM, CHUNK)
+        dbuf[:, :] = dout
+        woff = pl.multiple_of(start + k * CHUNK, CHUNK)
+        wr = pltpu.make_async_copy(
+            dbuf, dfeat_hbm.at[:, pl.ds(woff, CHUNK)], wsem)
+        wr.start()
+        wr.wait()
+
+        gcarry_s[:, :] += jnp.sum(wcg, axis=1, keepdims=True)
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, body, 0)
+
+
+def _run_bwd(feat, meta, out_saved, gout, cfg: RasterConfig):
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(cfg.num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, N_PIX, N_OUT), lambda t, meta: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N_PIX, N_OUT), lambda t, meta: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, FEAT_DIM, CHUNK), jnp.float32),
+            pltpu.VMEM((FEAT_DIM, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((N_PIX, 1), jnp.float32),
+            pltpu.VMEM((N_PIX, 1), jnp.float32),
+            pltpu.VMEM((N_PIX, 1), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, cfg.grid_x),
+        out_shape=jax.ShapeDtypeStruct(feat.shape, jnp.float32),
+        grid_spec=grid_spec,
+        interpret=cfg.interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(meta, feat, out_saved, gout)
+
+
+# ----------------------------------------------------- custom_vjp wrapper
+
+def _build_feat(mean2d, conic, rgbz, opacity, bins):
+    """Gather per-instance field rows (struct layout above) + tile meta.
+
+    The unwritten-slot story for backward: every slot in [0, M) belongs to
+    exactly one tile's padded run (runs are CHUNK-aligned and consecutive),
+    except the tail after the last tile's run — those slots keep gather_idx
+    == n, whose segment is discarded, so uninitialized dfeat there is
+    harmless.
+    """
+    n = mean2d.shape[0]
+    src = jnp.concatenate(
+        [mean2d, conic, opacity[:, None], rgbz,
+         jnp.zeros((n, FEAT_DIM - 10), mean2d.dtype)], axis=1)  # (N, 16)
+    src = jnp.concatenate([src, jnp.zeros((1, FEAT_DIM), src.dtype)], axis=0)
+    feat = src[bins.gather_idx].T                                # (16, M)
+    meta = jnp.stack([bins.tile_start, bins.tile_count], axis=1)
+    return feat, meta
+
+
+@functools.lru_cache(maxsize=32)
+def _make_composite(cfg: RasterConfig):
+    """Build the custom_vjp compositing function for a static config."""
+
+    @jax.custom_vjp
+    def composite(mean2d, conic, rgbz, opacity, depth, tile_rect,
+                  tiles_touched, radius):
+        out, _ = _composite_fwd(mean2d, conic, rgbz, opacity, depth,
+                                tile_rect, tiles_touched, radius)
+        return out
+
+    def _composite_fwd(mean2d, conic, rgbz, opacity, depth, tile_rect,
+                       tiles_touched, radius):
+        proj = ProjectedGaussians(mean2d=mean2d, conic=conic, depth=depth,
+                                  radius=radius, tile_rect=tile_rect,
+                                  tiles_touched=tiles_touched)
+        bins = build_tile_bins(proj, cfg.grid_x, cfg.grid_y,
+                               cfg.max_instances)
+        feat, meta = _build_feat(mean2d, conic, rgbz, opacity, bins)
+        out = _run_fwd(feat, meta, cfg)
+        res = (feat, meta, bins.gather_idx, out, mean2d.shape[0])
+        return out, res
+
+    def _composite_bwd(res, gout):
+        feat, meta, gather_idx, out_saved, n = res
+        dfeat = _run_bwd(feat, meta, out_saved, gout, cfg)
+        dsrc = jax.ops.segment_sum(dfeat.T, gather_idx,
+                                   num_segments=n + 1)[:n]
+        f0 = jax.dtypes.float0
+        zi = lambda x: np.zeros(x.shape, f0)  # noqa: E731
+        return (dsrc[:, 0:2], dsrc[:, 2:5], dsrc[:, 6:10], dsrc[:, 5],
+                jnp.zeros((n,), jnp.float32),   # depth: sort order, no grad
+                zi(jnp.zeros((n, 4), jnp.int32)),
+                zi(jnp.zeros((n,), jnp.int32)),
+                zi(jnp.zeros((n,), jnp.int32)))
+
+    composite.defvjp(_composite_fwd, _composite_bwd)
+    return composite
+
+
+def rasterize_pallas(proj: ProjectedGaussians, rgbz: jnp.ndarray,
+                     opacity: jnp.ndarray, cfg: RasterConfig):
+    """Rasterize projected Gaussians with the Pallas kernels.
+
+    Args:
+      proj: projection-stage output.
+      rgbz: (N, 4) per-Gaussian [r, g, b, z] channel values (z differentiable
+        — gradients w.r.t. depth-as-channel flow here; the sort order does
+        not carry gradients, matching the CUDA kernel).
+      opacity: (N,) in [0, 1].
+    Returns:
+      dict: image (6, H, W) channels [r, g, b, z, sil, z^2] WITHOUT
+      background, final_T (H, W), overflow () int32 (dropped instances,
+      including CHUNK-alignment padding loss).
+    """
+    composite = _make_composite(cfg)
+    out_tiles = composite(proj.mean2d, proj.conic, rgbz, opacity, proj.depth,
+                          proj.tile_rect, proj.tiles_touched, proj.radius)
+    gx, gy = cfg.grid_x, cfg.grid_y
+    img = out_tiles.reshape(gy, gx, TILE, TILE, N_OUT)
+    img = img.transpose(4, 0, 2, 1, 3).reshape(N_OUT, gy * TILE, gx * TILE)
+    img = img[:, :cfg.height, :cfg.width]
+    total = jnp.sum(proj.tiles_touched)
+    overflow = jnp.maximum(0, total - cfg.max_instances)
+    return {"image": img[0:6], "final_T": img[6], "overflow": overflow}

@@ -1,0 +1,107 @@
+"""Training losses (pure jnp, static shapes, jit/grad-safe).
+
+Mirrors the reference's live loss surface:
+- rgb_loss: 0.8 L1 + 0.2 (1 - SSIM), optional multiplicative mask
+  (``utils/loss_utils.py:47-54``)
+- pearson / local-pearson monocular-depth regularizers
+  (``utils/loss_utils.py:98-127``; weights 0.05 / 0.15 at ``train.py:258``)
+- flow-reprojection loss for tracking (``projection_flow_loss``,
+  ``scene/pose_optimizer.py:164-218``), recast with static-shape validity
+  masking instead of boolean indexing.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.camera import Camera, backproject, pixel_grid, project
+from ..core.transforms import invert_se3, transform_points
+from ..ops.ssim import ssim
+
+
+def l1(a, b):
+    return jnp.mean(jnp.abs(a - b))
+
+
+def rgb_loss(img, gt, mask=None, lambda_dssim: float = 0.2):
+    """(C, H, W) photometric loss. The mask multiplies both images
+    (reference semantics — the L1/SSIM means stay over ALL pixels)."""
+    if mask is not None:
+        m = mask.astype(img.dtype)
+        if m.ndim == 2:
+            m = m[None]
+        img = img * m
+        gt = gt * m
+    return (1.0 - lambda_dssim) * l1(img, gt) + lambda_dssim * (
+        1.0 - ssim(img, gt))
+
+
+def pearson_depth_loss(src, target, eps: float = 1e-6):
+    """1 - Pearson correlation of two depth maps (any matching shape)."""
+    s = src - jnp.mean(src)
+    t = target - jnp.mean(target)
+    s = s / (jnp.std(s) + eps)
+    t = t / (jnp.std(t) + eps)
+    return 1.0 - jnp.mean(s * t)
+
+
+def local_pearson_loss(src, target, key, box: int = 128,
+                       p_corr: float = 0.5):
+    """Mean pearson-depth loss over random boxes (reference
+    ``local_pearson_loss``, ``utils/loss_utils.py:112-127``).
+
+    src/target: (H, W). Number of boxes = p_corr * (H//box) * (W//box),
+    a static quantity; box corners are uniform over the valid range.
+    """
+    h, w = src.shape
+    n_boxes = max(int(p_corr * (h // box) * (w // box)), 1)
+    kx, ky = jax.random.split(key)
+    x0 = jax.random.randint(kx, (n_boxes,), 0, max(h - box, 1))
+    y0 = jax.random.randint(ky, (n_boxes,), 0, max(w - box, 1))
+
+    def one(x, y):
+        s = jax.lax.dynamic_slice(src, (x, y), (box, box))
+        t = jax.lax.dynamic_slice(target, (x, y), (box, box))
+        return pearson_depth_loss(s, t)
+
+    return jnp.mean(jax.vmap(one)(x0, y0))
+
+
+def flow_projection_loss(prev_depth, prev_w2c, cur_w2c, gt_flow_fw,
+                         cam: Camera, rigid_mask=None, edge: int = 20):
+    """Tracking flow loss: reproject the previous frame's rendered depth
+    through (prev pose)^-1 then the CURRENT learned pose, and compare the
+    induced flow to the precomputed forward flow.
+
+    prev_depth: (H, W) — cached rendered depth of frame t-1 (constant).
+    cur_w2c: (4, 4) — differentiable (the tracked pose).
+    gt_flow_fw: (2, H, W) forward flow t-1 -> t.
+    Returns a masked mean matching the reference's l1 over selected pixels
+    (mean over N points x 2 flow components).
+    """
+    H, W = cam.height, cam.width
+    depth_mask = prev_depth > 0
+    if rigid_mask is not None:
+        depth_mask = depth_mask & (rigid_mask > 0)
+
+    c2w_prev = invert_se3(prev_w2c)
+    pts_world = backproject(prev_depth, cam, c2w_prev)      # (H*W, 3)
+    pts_cur = transform_points(cur_w2c, pts_world)
+    proj, z = project(pts_cur, cam)                          # (H*W, 2), (H*W,)
+
+    xg, yg = pixel_grid(H, W)
+    pix = jnp.stack([xg.reshape(-1), yg.reshape(-1)], axis=1)
+    induced = proj - pix                                     # (H*W, 2)
+    gt = jnp.stack([gt_flow_fw[0].reshape(-1),
+                    gt_flow_fw[1].reshape(-1)], axis=1)
+
+    valid = (depth_mask.reshape(-1)
+             & (proj[:, 0] > edge) & (proj[:, 0] < W - edge)
+             & (proj[:, 1] > edge) & (proj[:, 1] < H - edge)
+             & (z > 0))
+    vf = valid.astype(induced.dtype)[:, None]
+    num = jnp.sum(jnp.abs(induced - gt) * vf)
+    den = 2.0 * jnp.sum(vf) + 1e-8
+    loss = num / den
+    return jnp.where(jnp.sum(vf) > 0, loss, 0.0)

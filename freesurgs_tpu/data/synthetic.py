@@ -1,0 +1,115 @@
+"""Synthetic video generator for end-to-end tests without SCARED data.
+
+Builds a random Gaussian scene, a smooth ground-truth camera trajectory,
+and renders the frames with the framework's own (oracle or pallas)
+renderer. Optical flow is derived analytically from rendered depth + the
+ground-truth relative poses (the same quantity the reference precomputes
+with RAFT), and "monocular depth" is the true rendered depth min-max
+normalized into [0.5, 1.5] exactly like the reference's preprocessing
+(``scene/pose_optimizer.py:406-407``).
+
+This gives BASELINE configs 2-3 (pose-only and joint optimization) a
+self-contained ground truth with known ATE == 0 at the optimum.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.camera import Camera, backproject, pixel_grid, project
+from ..core.transforms import build_w2c, invert_se3, transform_points
+from ..ops.render import render
+
+
+class SyntheticScene(NamedTuple):
+    cam: Camera
+    means: jnp.ndarray
+    quats: jnp.ndarray
+    log_scales: jnp.ndarray
+    logit_opacity: jnp.ndarray
+    sh: jnp.ndarray
+    gt_w2c: jnp.ndarray        # (T, 4, 4)
+    gt_quats: jnp.ndarray      # (T, 4)
+    gt_trans: jnp.ndarray      # (T, 3)
+    colors: jnp.ndarray        # (T, 3, H, W) rendered frames
+    depths: jnp.ndarray        # (T, H, W) true rendered depth
+    monodeps: jnp.ndarray      # (T, H, W) normalized depth prior
+    flows_fw: jnp.ndarray      # (T-1, 2, H, W) analytic flow t -> t+1
+
+
+def _smooth_trajectory(num_frames: int, seed: int, rot_mag=0.02,
+                       trans_mag=0.015):
+    rng = np.random.default_rng(seed)
+    qs = [np.array([1.0, 0, 0, 0])]
+    ts = [np.zeros(3)]
+    dq = rng.normal(size=3) * rot_mag
+    dt = rng.normal(size=3) * trans_mag
+    for _ in range(1, num_frames):
+        dq = 0.9 * dq + rng.normal(size=3) * rot_mag * 0.3
+        dt = 0.9 * dt + rng.normal(size=3) * trans_mag * 0.3
+        q = qs[-1] + np.concatenate([[0.0], dq])
+        q = q / np.linalg.norm(q)
+        qs.append(q)
+        ts.append(ts[-1] + dt)
+    return (jnp.asarray(np.stack(qs), jnp.float32),
+            jnp.asarray(np.stack(ts), jnp.float32))
+
+
+def flow_from_depth(depth_t, w2c_t, w2c_t1, cam: Camera):
+    """Analytic forward flow t -> t+1 from depth of frame t and both poses."""
+    pts_w = backproject(depth_t, cam, invert_se3(w2c_t))
+    proj, _ = project(transform_points(w2c_t1, pts_w), cam)
+    xg, yg = pixel_grid(cam.height, cam.width)
+    pix = jnp.stack([xg.reshape(-1), yg.reshape(-1)], axis=1)
+    return (proj - pix).T.reshape(2, cam.height, cam.width)
+
+
+def make_scene(num_frames: int = 8, n_gaussians: int = 600,
+               height: int = 64, width: int = 80, seed: int = 0,
+               impl: str = "oracle") -> SyntheticScene:
+    rng = np.random.default_rng(seed)
+    cam = Camera(height=height, width=width, fx=width * 1.1,
+                 fy=width * 1.1, cx=width / 2, cy=height / 2)
+    n = n_gaussians
+    means = np.stack([
+        rng.uniform(-0.8, 0.8, n), rng.uniform(-0.6, 0.6, n),
+        rng.uniform(1.0, 2.5, n)], -1).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    log_scales = np.log(rng.uniform(0.02, 0.06, (n, 3))).astype(np.float32)
+    logit_op = rng.uniform(1.0, 4.0, n).astype(np.float32)
+    from ..core.sh import rgb2sh
+    sh = np.asarray(rgb2sh(jnp.asarray(
+        rng.uniform(0.1, 0.9, (n, 3)).astype(np.float32))))[:, None, :]
+
+    gt_q, gt_t = _smooth_trajectory(num_frames, seed + 1)
+    gt_w2c = build_w2c(gt_q, gt_t)
+
+    args = (jnp.asarray(means), jnp.asarray(quats), jnp.asarray(log_scales),
+            jnp.asarray(logit_op), jnp.asarray(sh))
+
+    colors, depths = [], []
+    for t in range(num_frames):
+        out = render(*args, gt_w2c[t], cam, impl=impl)
+        colors.append(jnp.clip(out["render"], 0.0, 1.0))
+        depths.append(out["render_dep"])
+    colors = jnp.stack(colors)
+    depths = jnp.stack(depths)
+
+    # reference mono-depth normalization: [0.5, 1.5]
+    dmin = depths.min(axis=(1, 2), keepdims=True)
+    dmax = depths.max(axis=(1, 2), keepdims=True)
+    monodeps = (depths - dmin) / jnp.maximum(dmax - dmin, 1e-8) + 0.5
+
+    flows = jnp.stack([
+        flow_from_depth(depths[t], gt_w2c[t], gt_w2c[t + 1], cam)
+        for t in range(num_frames - 1)])
+
+    return SyntheticScene(cam=cam, means=args[0], quats=args[1],
+                          log_scales=args[2], logit_opacity=args[3],
+                          sh=args[4], gt_w2c=gt_w2c, gt_quats=gt_q,
+                          gt_trans=gt_t, colors=colors, depths=depths,
+                          monodeps=monodeps, flows_fw=flows)

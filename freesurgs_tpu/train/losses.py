@@ -55,6 +55,8 @@ def local_pearson_loss(src, target, key, box: int = 128,
     a static quantity; box corners are uniform over the valid range.
     """
     h, w = src.shape
+    box = min(box, h, w)  # small images: shrink the box (the reference
+    # would sample zero boxes and divide by zero)
     n_boxes = max(int(p_corr * (h // box) * (w // box)), 1)
     kx, ky = jax.random.split(key)
     x0 = jax.random.randint(kx, (n_boxes,), 0, max(h - box, 1))

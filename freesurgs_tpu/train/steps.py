@@ -1,0 +1,275 @@
+"""Jitted training steps: per-frame tracking and mapping.
+
+TPU-native redesign of the reference's hot loops (``FreeSurGS.tracking`` /
+``FreeSurGS.mapping``, ``train.py:154-295``). The key structural change:
+an entire optimization loop (50 tracking iterations, or a whole mapping
+chunk including its densify events) is ONE jitted call built from
+``lax.fori_loop`` — versus the reference's one python-dispatched
+CUDA-kernel pair per iteration. Weights and schedules match ``train.py``:
+
+  tracking: 1.0 * rgb(masked) + 0.1 * flow-reprojection, Adam lr 0.01
+            step-decayed by 0.5 at thirds (train.py:86-89, pose_optimizer
+            489-496)
+  mapping:  5.0 * rgb + (0.05 * pearson + 0.15 * local-pearson) on inverse
+            monocular depth prior (train.py:253-259), per-group Adam LRs
+            from OptimizationParams (arguments/__init__.py:109-132),
+            densify every 300 global mapping iterations while < 15000,
+            opacity reset every 3000 (train.py:305-316).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.camera import Camera
+from ..core.transforms import build_w2c
+from ..models.gaussians import GaussianField
+from ..ops.render import render
+from . import losses
+from .densify import DensifyConfig, add_render_stats, densify_and_prune, \
+    reset_opacity
+from .optim import AdamState, adam_init, adam_update, apply_updates, \
+    expon_lr, tracking_lr
+
+
+class TrainConfig(NamedTuple):
+    """The reference's hard-coded hypers (train.py:58-102 +
+    arguments/__init__.py:109-132), unified."""
+    tracking_iters: int = 50
+    mapping_iters: int = 30
+    first_frame_mapping_iters: int = 200
+    global_iters: int = 30000
+    densify_interval: int = 300
+    densify_until: int = 15000
+    opacity_reset_interval: int = 3000
+    size_threshold_from: int = 4000
+    sh_increase_interval: int = 1000
+    # loss weights
+    w_rgb_tracking: float = 1.0
+    w_flow_tracking: float = 0.1
+    w_rgb_mapping: float = 5.0
+    w_pearson: float = 0.05
+    w_local_pearson: float = 0.15
+    # learning rates (OptimizationParams x spatial_lr_scale=5)
+    spatial_lr_scale: float = 5.0
+    position_lr_init: float = 1.6e-4
+    position_lr_final: float = 1.6e-6
+    position_lr_max_steps: int = 30000
+    feature_lr: float = 2.5e-3
+    opacity_lr: float = 0.05
+    scaling_lr: float = 5e-3
+    rotation_lr: float = 1e-3
+    # renderer
+    max_instances: int = 0
+    impl: str | None = None
+    densify: DensifyConfig = DensifyConfig()
+
+    def mapping_lrs(self, step):
+        """Per-leaf LR pytree for the Gaussian Adam at global step."""
+        xyz = expon_lr(step, self.position_lr_init * self.spatial_lr_scale,
+                       self.position_lr_final * self.spatial_lr_scale,
+                       self.position_lr_max_steps)
+        return {
+            "means": xyz,
+            "quats": jnp.asarray(self.rotation_lr),
+            "log_scales": jnp.asarray(self.scaling_lr),
+            "logit_opacity": jnp.asarray(self.opacity_lr),
+            "sh_dc": jnp.asarray(self.feature_lr),
+            "sh_rest": jnp.asarray(self.feature_lr / 20.0),
+        }
+
+
+# ------------------------------------------------------------- tracking
+
+def tracking_loop(field: GaussianField, quat0, trans0, gt_image, prev_depth,
+                  prev_w2c, flow_fw_prev, rigid_mask, cam: Camera,
+                  cfg: TrainConfig, sh_degree: int = 0):
+    """Optimize one frame's (quat, trans) for cfg.tracking_iters Adam steps.
+
+    All Gaussian parameters are frozen (gs_grad=False). Returns
+    (quat, trans, metrics dict). Fully jittable; iteration count static.
+    """
+    pose0 = {"q": quat0, "t": trans0}
+    opt0 = adam_init(pose0)
+
+    def loss_fn(pose):
+        w2c = build_w2c(pose["q"], pose["t"])
+        out = render(field.means, field.quats, field.log_scales,
+                     field.logit_opacity, field.sh, w2c, cam,
+                     active=field.active, sh_degree=sh_degree,
+                     impl=cfg.impl, max_instances=cfg.max_instances,
+                     gs_grad=False, cam_grad=True)
+        mask = (out["render_dep"] > 0) & (rigid_mask > 0)
+        rgb = cfg.w_rgb_tracking * losses.rgb_loss(out["render"], gt_image,
+                                                   mask=mask)
+        flow = cfg.w_flow_tracking * losses.flow_projection_loss(
+            prev_depth, prev_w2c, out["render_w2c"], flow_fw_prev, cam,
+            rigid_mask=rigid_mask)
+        return rgb + flow, (rgb, flow)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def body(i, carry):
+        pose, opt, _ = carry
+        (loss, (rgb, flow)), grads = grad_fn(pose)
+        lr = tracking_lr(i, cfg.tracking_iters)
+        upd, opt = adam_update(grads, opt, lr)
+        pose = apply_updates(pose, upd)
+        return pose, opt, jnp.stack([loss, rgb, flow])
+
+    pose, _, last = jax.lax.fori_loop(
+        0, cfg.tracking_iters, body,
+        (pose0, opt0, jnp.zeros(3, jnp.float32)))
+    return pose["q"], pose["t"], {"loss": last[0], "rgb_loss": last[1],
+                                  "flow_loss": last[2]}
+
+
+# -------------------------------------------------------------- mapping
+
+class MappingCarry(NamedTuple):
+    field: GaussianField
+    opt: AdamState
+    iteration: jnp.ndarray     # () int32 global mapping-step counter
+    key: jax.Array
+    last_loss: jnp.ndarray
+
+
+def _render_view(field: GaussianField, w2c, cam, cfg, sh_degree, probe):
+    return render(field.means, field.quats, field.log_scales,
+                  field.logit_opacity, field.sh, w2c, cam,
+                  active=field.active, probe2d=probe, sh_degree=sh_degree,
+                  impl=cfg.impl, max_instances=cfg.max_instances,
+                  gs_grad=True, cam_grad=False)
+
+
+def mapping_chunk(field: GaussianField, opt: AdamState,
+                  colors_all, monodeps_all, w2c_all,
+                  cur_t, keyframes, n_keyframes,
+                  iteration0, key,
+                  cam: Camera, cfg: TrainConfig,
+                  n_iters: int, two_views: bool, sh_degree: int,
+                  densify_enabled: bool = True):
+    """Run ``n_iters`` mapping iterations (one jitted call).
+
+    colors_all (T, 3, H, W), monodeps_all (T, H, W): the full sequence,
+    resident in HBM; views are gathered with dynamic indexing.
+    w2c_all (T, 4, 4): current pose estimates (constant here).
+    keyframes (T,) int32 + n_keyframes: the keyframe list, padded.
+    two_views: progressive-mode random-keyframe + current pair
+    (train.py:214-217, 236-244). Returns (field, opt, aux) where aux has
+    the current view's render + depth (cached for the next tracking step).
+    """
+
+    def one_iter(carry: MappingCarry):
+        field, opt, iteration, key, _ = carry
+        key, k_kf, k_lp1, k_lp2 = jax.random.split(key, 4)
+
+        def view_loss(params, probe, t_idx, lp_key):
+            f = field.replace(**params)
+            out = _render_view(f, w2c_all[t_idx], cam, cfg, sh_degree,
+                               probe)
+            gt = jax.lax.dynamic_index_in_dim(colors_all, t_idx, 0, False)
+            mono = jax.lax.dynamic_index_in_dim(monodeps_all, t_idx, 0,
+                                                False)
+            rgb = cfg.w_rgb_mapping * losses.rgb_loss(out["render"], gt)
+            dep = (cfg.w_pearson * losses.pearson_depth_loss(
+                       mono, out["render_dep"])
+                   + cfg.w_local_pearson * losses.local_pearson_loss(
+                       mono, out["render_dep"], lp_key))
+            return rgb + dep, out
+
+        params = field.param_dict()
+        probe0 = jnp.zeros((field.capacity, 2), jnp.float32)
+
+        if two_views:
+            kf_pos = jax.random.randint(k_kf, (), 0,
+                                        jnp.maximum(n_keyframes, 1))
+            kf_t = keyframes[kf_pos]
+
+            def total_loss(params, probe):
+                l0, out0 = view_loss(params, probe, kf_t, k_lp1)
+                l1, out1 = view_loss(params, None, cur_t, k_lp2)
+                return l0 + l1, (out0, out1)
+
+            (loss, (out0, out1)), grads = jax.value_and_grad(
+                total_loss, argnums=(0, 1), has_aux=True)(params, probe0)
+            pgrads, probe_grad = grads
+            stats_out = out0
+            cur_out = out1
+        else:
+            def total_loss(params, probe):
+                l, out = view_loss(params, probe, cur_t, k_lp1)
+                return l, out
+
+            (loss, out), grads = jax.value_and_grad(
+                total_loss, argnums=(0, 1), has_aux=True)(params, probe0)
+            pgrads, probe_grad = grads
+            stats_out = out
+            cur_out = out
+
+        iteration = iteration + 1
+
+        # densification statistics from the stats view (train.py:261-263,
+        # 297-303)
+        field = add_render_stats(field, probe_grad, stats_out["radii"],
+                                 stats_out["visibility"])
+
+        upd, opt = adam_update(pgrads, opt, cfg.mapping_lrs(iteration))
+        field = field.replace(**apply_updates(params, upd))
+
+        if densify_enabled:
+            key, k_dens = jax.random.split(key)
+
+            def do_densify(args):
+                f, o = args
+                return densify_and_prune(
+                    f, o, k_dens, cfg.densify,
+                    use_screen_size=iteration > cfg.size_threshold_from
+                )[:2]
+
+            field, opt = jax.lax.cond(
+                (iteration % cfg.densify_interval == 0)
+                & (iteration < cfg.densify_until),
+                do_densify, lambda a: a, (field, opt))
+
+            field, opt = jax.lax.cond(
+                iteration % cfg.opacity_reset_interval == 0,
+                lambda a: reset_opacity(*a), lambda a: a, (field, opt))
+
+        return MappingCarry(field, opt, iteration, key, loss), cur_out
+
+    def body(i, carry):
+        carry, _ = one_iter(carry)
+        return carry
+
+    carry0 = MappingCarry(field, opt, iteration0, key,
+                          jnp.zeros((), jnp.float32))
+    if n_iters > 1:
+        carry = jax.lax.fori_loop(0, n_iters - 1, body, carry0)
+    else:
+        carry = carry0
+    carry, cur_out = one_iter(carry)   # keep the final render as aux
+    aux = {
+        "render": cur_out["render"],
+        "render_dep": cur_out["render_dep"],
+        "loss": carry.last_loss,
+        "iteration": carry.iteration,
+        "num_active": carry.field.num_active,
+    }
+    return carry.field, carry.opt, aux
+
+
+def make_jitted_mapping(cam: Camera, cfg: TrainConfig):
+    """jit wrapper with the static args bound."""
+    return jax.jit(
+        mapping_chunk,
+        static_argnames=("cam", "cfg", "n_iters", "two_views", "sh_degree",
+                         "densify_enabled"))
+
+
+def make_jitted_tracking(cam: Camera, cfg: TrainConfig):
+    return jax.jit(tracking_loop,
+                   static_argnames=("cam", "cfg", "sh_degree"))

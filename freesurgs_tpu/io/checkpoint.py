@@ -19,7 +19,22 @@ import numpy as np
 
 
 def _tree_to_numpy(tree):
-    return jax.tree.map(lambda x: np.asarray(x), tree)
+    """To numpy, replacing zero-size leaves (e.g. sh_rest at SH degree 0)
+    with a scalar sentinel — orbax refuses zero-size arrays; the template
+    restores their true (contentless) shape."""
+    def conv(x):
+        x = np.asarray(x)
+        return np.zeros((1,), np.float32) if x.size == 0 else x
+
+    return jax.tree.map(conv, tree)
+
+
+def _restore_empties(restored, template):
+    def back(r, t):
+        t = np.asarray(t)
+        return t if t.size == 0 else r
+
+    return jax.tree.map(back, restored, template)
 
 
 def save_checkpoint(path: str, state: Any, step: int):
@@ -40,6 +55,8 @@ def restore_checkpoint(path: str, template: Any = None):
         if template is not None:
             item = {"state": _tree_to_numpy(template), "step": 0}
             out = ckptr.restore(path, item=item)
+            out = {"state": _restore_empties(out["state"], template),
+                   "step": out["step"]}
         else:
             out = ckptr.restore(path)
     return out["state"], int(out["step"])

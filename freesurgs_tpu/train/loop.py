@@ -1,0 +1,276 @@
+"""Training orchestrator: progressive SLAM loop + global refinement.
+
+TPU-native equivalent of ``class FreeSurGS`` (``train.py:32-443``). The
+host-side loop only sequences jitted device calls and rare capacity-growth
+events; all per-iteration math lives in ``train/steps.py``.
+
+Stage structure (reference ``progressive_run`` / ``global_run`` /
+``validation``):
+ 1. frame 0: initialize the Gaussian field from a masked back-projection of
+    the monocular depth prior, then 200 mapping iterations;
+ 2. frames t>0: constant-velocity pose init -> 50-iteration tracking (with
+    the epipolar rigidity mask from frames t-2/t-1) -> 30 mapping
+    iterations on {random keyframe, t} for train frames; cache rendered
+    depth/color;
+ 3. global refinement: 30k single-iteration mapping steps over random train
+    frames (run in jitted chunks), SH degree stepped every 1000;
+ 4. validation: test-view PSNR/SSIM/LPIPS + sim(3)-aligned ATE/RPE.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.camera import Camera
+from ..models import pose as posemod
+from ..models.gaussians import GaussianField, from_rgbd, grow_capacity
+from ..models.pose import PoseTable, identity_poses
+from ..ops.render import render
+from .optim import adam_init
+from .steps import MappingState, TrainConfig, make_jitted_mapping, \
+    make_jitted_tracking
+
+
+def create_random_mask(num_pixels: int, frac: float, seed: int = 0):
+    """Keep ``frac`` of pixels (reference ``create_random_mask``,
+    ``utils/general_utils.py:126-139``)."""
+    rng = np.random.default_rng(seed)
+    k = int(frac * num_pixels)
+    mask = np.zeros(num_pixels, bool)
+    mask[rng.permutation(num_pixels)[:k]] = True
+    return mask
+
+
+@dataclasses.dataclass
+class Trainer:
+    """Holds the full training state and drives the stages.
+
+    ``seq`` is any object with the VideoSequence interface
+    (``data/scared.py``) — colors (T,3,H,W), flows_fw (T-1,2,H,W),
+    monodeps (T,H,W), cam, i_train/i_test, gt_poses, boundaries.
+    """
+
+    seq: Any
+    cfg: TrainConfig = TrainConfig()
+    sh_degree_max: int = 3
+    global_chunk: int = 100
+    init_mask_frac: float = 0.1
+    capacity: int | None = None
+    seed: int = 6666
+    log_fn: Any = print
+
+    def __post_init__(self):
+        seq = self.seq
+        self.cam: Camera = seq.cam
+        self.num_frames = seq.colors.shape[0]
+        H, W = self.cam.height, self.cam.width
+
+        self.colors = jnp.asarray(seq.colors)
+        self.monodeps = jnp.asarray(seq.monodeps)
+        self.flows_fw = jnp.asarray(seq.flows_fw)
+        self.K = jnp.asarray(self.cam.intrinsic_matrix())
+
+        self.poses: PoseTable = identity_poses(self.num_frames)
+        self.active_sh_degree = 0
+        self.key = jax.random.PRNGKey(self.seed)
+
+        # frame 0 cache = monodepth prior (train.py:41-42)
+        pred_depths = jnp.zeros((self.num_frames, H, W)
+                                ).at[0].set(self.monodeps[0])
+        pred_colors = jnp.zeros((self.num_frames, 3, H, W))
+
+        # Gaussian field init from frame 0 (train.py:44)
+        mask = create_random_mask(H * W, self.init_mask_frac, self.seed)
+        field = from_rgbd(self.colors[0], self.monodeps[0], self.cam,
+                          jnp.eye(4), mask, self.sh_degree_max,
+                          self.capacity)
+        self.log_fn(f"init gaussians: {int(field.num_active)} "
+                    f"(capacity {field.capacity}), scene_radius "
+                    f"{float(field.scene_radius):.3f}")
+        self.state = MappingState(
+            field=field, opt=adam_init(field.param_dict()),
+            iteration=jnp.zeros((), jnp.int32), key=self.key,
+            pred_depths=pred_depths, pred_colors=pred_colors)
+
+        self.keyframes: list[int] = []
+        self._mapping = make_jitted_mapping(self.cam, self.cfg)
+        self._tracking = make_jitted_tracking(self.cam, self.cfg)
+        self._rigidity = jax.jit(
+            lambda poses, t1, t2, flow: posemod.epipolar_rigidity(
+                poses, t1, t2, flow, self.cam, self.K)[1])
+        self.history: list[dict] = []
+
+    # ------------------------------------------------------------ helpers
+    @property
+    def field(self) -> GaussianField:
+        return self.state.field
+
+    def _maybe_grow(self):
+        """Grow capacity when the slot pool is nearly full (host event)."""
+        n_act = int(self.field.num_active)
+        cap = self.field.capacity
+        if n_act > 0.9 * cap:
+            new_cap = -(-int(cap * 1.6) // 4096) * 4096
+            self.log_fn(f"growing capacity {cap} -> {new_cap} "
+                        f"(active {n_act})")
+            field = grow_capacity(self.field, new_cap)
+            opt = self.state.opt
+
+            def pad(x):
+                if x.ndim == 0 or x.shape[0] != cap:
+                    return x
+                return jnp.pad(x, [(0, new_cap - cap)]
+                               + [(0, 0)] * (x.ndim - 1))
+
+            opt = opt.replace(mu=jax.tree.map(pad, opt.mu),
+                              nu=jax.tree.map(pad, opt.nu))
+            self.state = self.state._replace(field=field, opt=opt)
+
+    def _update_sh_degree(self):
+        it = int(self.state.iteration)
+        want = min(it // self.cfg.sh_increase_interval, self.sh_degree_max)
+        if want > self.active_sh_degree:
+            self.active_sh_degree = want
+            self.log_fn(f"SH degree -> {want}")
+
+    def _rigid_mask(self, t: int):
+        if t <= 1:
+            return jnp.ones((self.cam.height, self.cam.width))
+        sampson = self._rigidity(self.poses, t - 2, t - 1,
+                                 self.flows_fw[t - 2])
+        return posemod.adaptive_threshold_mask(sampson).astype(jnp.float32)
+
+    def _map_frame(self, t: int, n_iters: int, two_views: bool):
+        kf = jnp.asarray(self.keyframes or [0], jnp.int32)
+        kf_pad = jnp.zeros((self.num_frames,), jnp.int32
+                           ).at[:len(kf)].set(kf)
+        self.state, aux = self._mapping(
+            self.state, self.colors, self.monodeps,
+            jax.lax.stop_gradient(self.poses.all_w2c()),
+            jnp.full((n_iters,), t, jnp.int32), kf_pad,
+            jnp.int32(len(self.keyframes) or 1),
+            cam=self.cam, cfg=self.cfg, two_views=two_views,
+            sh_degree=self.active_sh_degree, densify_enabled=True)
+        return aux
+
+    # ------------------------------------------------------------- stages
+    def track_frame(self, t: int):
+        if t > 1:
+            self.poses = posemod.const_velocity_init(self.poses, t)
+        elif t == 1:
+            self.poses = posemod.copy_previous_init(self.poses, t)
+        rigid = self._rigid_mask(t)
+        q, tr, metrics = self._tracking(
+            self.field, self.poses.quats[t], self.poses.trans[t],
+            self.colors[t], self.state.pred_depths[t - 1],
+            jax.lax.stop_gradient(self.poses.w2c(t - 1)),
+            self.flows_fw[t - 1], rigid, self.cam, self.cfg,
+            sh_degree=self.active_sh_degree)
+        self.poses = self.poses.set_frame(t, q, tr)
+        return metrics
+
+    def progressive_run(self):
+        i_train = set(int(i) for i in self.seq.i_train)
+        t0 = time.time()
+        for t in range(self.num_frames):
+            metrics = {}
+            if t > 0:
+                metrics = self.track_frame(t)
+            if t in i_train:
+                self._update_sh_degree()
+                n_it = (self.cfg.first_frame_mapping_iters if t == 0
+                        else self.cfg.mapping_iters)
+                aux = self._map_frame(t, n_it, two_views=(t > 0))
+                self.keyframes.append(t)
+                self._maybe_grow()
+                metrics.update({k: aux[k] for k in ("loss", "num_active")})
+            self.history.append({"stage": "progressive", "frame": t,
+                                 **{k: float(v)
+                                    for k, v in metrics.items()}})
+            if t % 10 == 0:
+                self.log_fn(
+                    f"[progressive {t}/{self.num_frames}] "
+                    + " ".join(f"{k}={float(v):.4g}"
+                               for k, v in metrics.items())
+                    + f" ({time.time() - t0:.1f}s)")
+
+    def global_run(self, iters: int | None = None):
+        iters = iters if iters is not None else self.cfg.global_iters
+        i_train = np.asarray(self.seq.i_train, np.int64)
+        rng = np.random.default_rng(self.seed + 1)
+        w2c_all = jax.lax.stop_gradient(self.poses.all_w2c())
+        done = 0
+        t0 = time.time()
+        while done < iters:
+            self._update_sh_degree()
+            n = min(self.global_chunk, iters - done)
+            ts = jnp.asarray(rng.choice(i_train, size=n), jnp.int32)
+            kf_pad = jnp.zeros((self.num_frames,), jnp.int32)
+            self.state, aux = self._mapping(
+                self.state, self.colors, self.monodeps, w2c_all,
+                ts, kf_pad, jnp.int32(1),
+                cam=self.cam, cfg=self.cfg, two_views=False,
+                sh_degree=self.active_sh_degree, densify_enabled=True)
+            done += n
+            self._maybe_grow()
+            if done % 1000 < self.global_chunk:
+                self.log_fn(
+                    f"[global {done}/{iters}] loss={float(aux['loss']):.4f}"
+                    f" active={int(aux['num_active'])}"
+                    f" ({time.time() - t0:.1f}s)")
+            self.history.append({"stage": "global", "iter": done,
+                                 "loss": float(aux["loss"]),
+                                 "num_active": int(aux["num_active"])})
+
+    # --------------------------------------------------------- evaluation
+    def render_frame(self, t: int):
+        f = self.field
+        return render(f.means, f.quats, f.log_scales, f.logit_opacity,
+                      f.sh, self.poses.w2c(t), self.cam, active=f.active,
+                      sh_degree=self.active_sh_degree, impl=self.cfg.impl,
+                      max_instances=self.cfg.max_instances)
+
+    def validation(self) -> dict:
+        from ..eval.image_metrics import rgb_evaluation
+        from ..eval.pose_metrics import evaluate_subsequences
+
+        preds, gts = [], []
+        for t in [int(i) for i in self.seq.i_test]:
+            out = self.render_frame(t)
+            preds.append(np.clip(np.asarray(out["render"]), 0, 1))
+            gts.append(np.asarray(self.colors[t]))
+        metrics: dict = {}
+        if preds:
+            metrics.update(rgb_evaluation(np.stack(gts), np.stack(preds)))
+        if getattr(self.seq, "gt_poses", None):
+            pred_w2c = np.asarray(self.poses.all_w2c())
+            metrics.update(evaluate_subsequences(
+                pred_w2c, self.seq.gt_poses, self.seq.boundaries))
+        self.log_fn("validation: " + " ".join(
+            f"{k}={v:.4f}" for k, v in metrics.items()
+            if isinstance(v, float)))
+        return metrics
+
+    # ------------------------------------------------------- persistence
+    def save(self, path: str):
+        from ..io.checkpoint import save_checkpoint
+        save_checkpoint(path, self.capture(), int(self.state.iteration))
+
+    def capture(self):
+        return {"state": self.state, "poses": self.poses,
+                "keyframes": np.asarray(self.keyframes, np.int64),
+                "active_sh_degree": self.active_sh_degree}
+
+    def restore(self, path: str):
+        from ..io.checkpoint import restore_checkpoint
+        restored, _ = restore_checkpoint(path, template=self.capture())
+        self.state = jax.tree.map(jnp.asarray, restored["state"])
+        self.poses = jax.tree.map(jnp.asarray, restored["poses"])
+        self.keyframes = [int(k) for k in restored["keyframes"]]
+        self.active_sh_degree = int(restored["active_sh_degree"])

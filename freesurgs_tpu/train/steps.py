@@ -129,12 +129,13 @@ def tracking_loop(field: GaussianField, quat0, trans0, gt_image, prev_depth,
 
 # -------------------------------------------------------------- mapping
 
-class MappingCarry(NamedTuple):
+class MappingState(NamedTuple):
     field: GaussianField
     opt: AdamState
     iteration: jnp.ndarray     # () int32 global mapping-step counter
     key: jax.Array
-    last_loss: jnp.ndarray
+    pred_depths: jnp.ndarray   # (T, H, W) per-frame rendered-depth cache
+    pred_colors: jnp.ndarray   # (T, 3, H, W) per-frame rendered-color cache
 
 
 def _render_view(field: GaussianField, w2c, cam, cfg, sh_degree, probe):
@@ -145,26 +146,36 @@ def _render_view(field: GaussianField, w2c, cam, cfg, sh_degree, probe):
                   gs_grad=True, cam_grad=False)
 
 
-def mapping_chunk(field: GaussianField, opt: AdamState,
+def mapping_chunk(state: MappingState,
                   colors_all, monodeps_all, w2c_all,
-                  cur_t, keyframes, n_keyframes,
-                  iteration0, key,
+                  cur_ts, keyframes, n_keyframes,
                   cam: Camera, cfg: TrainConfig,
-                  n_iters: int, two_views: bool, sh_degree: int,
+                  two_views: bool, sh_degree: int,
                   densify_enabled: bool = True):
-    """Run ``n_iters`` mapping iterations (one jitted call).
+    """Run ``len(cur_ts)`` mapping iterations as ONE jitted call.
 
-    colors_all (T, 3, H, W), monodeps_all (T, H, W): the full sequence,
-    resident in HBM; views are gathered with dynamic indexing.
-    w2c_all (T, 4, 4): current pose estimates (constant here).
-    keyframes (T,) int32 + n_keyframes: the keyframe list, padded.
-    two_views: progressive-mode random-keyframe + current pair
-    (train.py:214-217, 236-244). Returns (field, opt, aux) where aux has
-    the current view's render + depth (cached for the next tracking step).
+    Mirrors FreeSurGS.mapping + densification (train.py:213-316):
+    - cur_ts (n_iters,) int32: the frame mapped at each iteration
+      (progressive mode repeats one frame; the global stage passes a
+      pre-sampled random i_train sequence, train.py:382).
+    - two_views: add a random-keyframe view per iteration
+      (train.py:236-244); densification stats come from that view only
+      (train.py:260-263).
+    - densify every cfg.densify_interval global iterations while below
+      cfg.densify_until; opacity reset every cfg.opacity_reset_interval
+      (train.py:305-316) — all as lax.cond inside the scan.
+    - after each iteration the mapped frame's rendered depth/color are
+      written into the prediction caches (train.py:343-344, 392-393),
+      which the next tracking step consumes.
+
+    colors_all (T, 3, H, W) and monodeps_all (T, H, W) stay resident in
+    HBM; views are gathered by dynamic indexing.
+    Returns (state, aux) with last-iteration diagnostics.
     """
 
-    def one_iter(carry: MappingCarry):
-        field, opt, iteration, key, _ = carry
+    def one_iter(state: MappingState, cur_t):
+        field, opt, iteration, key = (state.field, state.opt,
+                                      state.iteration, state.key)
         key, k_kf, k_lp1, k_lp2 = jax.random.split(key, 4)
 
         def view_loss(params, probe, t_idx, lp_key):
@@ -239,34 +250,28 @@ def mapping_chunk(field: GaussianField, opt: AdamState,
                 iteration % cfg.opacity_reset_interval == 0,
                 lambda a: reset_opacity(*a), lambda a: a, (field, opt))
 
-        return MappingCarry(field, opt, iteration, key, loss), cur_out
+        pred_depths = jax.lax.dynamic_update_index_in_dim(
+            state.pred_depths, cur_out["render_dep"], cur_t, 0)
+        pred_colors = jax.lax.dynamic_update_index_in_dim(
+            state.pred_colors, jnp.clip(cur_out["render"], 0.0, 1.0),
+            cur_t, 0)
+        new_state = MappingState(field, opt, iteration, key, pred_depths,
+                                 pred_colors)
+        return new_state, jnp.stack([loss, cur_out["overflow"]
+                                     .astype(jnp.float32)])
 
-    def body(i, carry):
-        carry, _ = one_iter(carry)
-        return carry
-
-    carry0 = MappingCarry(field, opt, iteration0, key,
-                          jnp.zeros((), jnp.float32))
-    if n_iters > 1:
-        carry = jax.lax.fori_loop(0, n_iters - 1, body, carry0)
-    else:
-        carry = carry0
-    carry, cur_out = one_iter(carry)   # keep the final render as aux
-    aux = {
-        "render": cur_out["render"],
-        "render_dep": cur_out["render_dep"],
-        "loss": carry.last_loss,
-        "iteration": carry.iteration,
-        "num_active": carry.field.num_active,
-    }
-    return carry.field, carry.opt, aux
+    state, diag = jax.lax.scan(one_iter, state, cur_ts)
+    aux = {"loss": diag[-1, 0], "overflow_max": jnp.max(diag[:, 1]),
+           "iteration": state.iteration,
+           "num_active": state.field.num_active}
+    return state, aux
 
 
 def make_jitted_mapping(cam: Camera, cfg: TrainConfig):
     """jit wrapper with the static args bound."""
     return jax.jit(
         mapping_chunk,
-        static_argnames=("cam", "cfg", "n_iters", "two_views", "sh_degree",
+        static_argnames=("cam", "cfg", "two_views", "sh_degree",
                          "densify_enabled"))
 
 

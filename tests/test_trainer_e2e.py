@@ -1,0 +1,79 @@
+"""End-to-end miniature run of the full SLAM pipeline on a synthetic scene
+(BASELINE configs 2-4, miniaturized): progressive tracking+mapping, global
+refinement, validation with ATE/PSNR."""
+
+import numpy as np
+import pytest
+
+from freesurgs_tpu.data.synthetic import make_scene
+from freesurgs_tpu.train.densify import DensifyConfig
+from freesurgs_tpu.train.loop import Trainer
+from freesurgs_tpu.train.steps import TrainConfig
+
+
+class SeqAdapter:
+    def __init__(self, scene):
+        self.cam = scene.cam
+        self.colors = np.asarray(scene.colors)
+        self.monodeps = np.asarray(scene.monodeps)
+        self.flows_fw = np.asarray(scene.flows_fw)
+        n = self.colors.shape[0]
+        self.i_train = np.arange(n)
+        self.i_test = np.asarray([n - 1])
+        self.gt_poses = {"k0": np.asarray(scene.gt_w2c)}
+        self.boundaries = [0, n]
+
+
+@pytest.fixture(scope="module")
+def trained():
+    scene = make_scene(num_frames=5, n_gaussians=500, height=48, width=64,
+                       seed=3)
+    seq = SeqAdapter(scene)
+    cfg = TrainConfig(
+        tracking_iters=25, mapping_iters=12, first_frame_mapping_iters=40,
+        densify_interval=50, opacity_reset_interval=10_000,
+        max_instances=16384, impl="pallas_interpret",
+        densify=DensifyConfig())
+    tr = Trainer(seq, cfg, sh_degree_max=0, global_chunk=25,
+                 capacity=8192, log_fn=lambda *a: None)
+    tr.progressive_run()
+    tr.global_run(50)
+    return tr, scene
+
+
+def test_progressive_and_global_complete(trained):
+    tr, scene = trained
+    assert len(tr.keyframes) == 5
+    assert int(tr.state.iteration) > 100
+    assert int(tr.field.num_active) > 100
+
+
+def test_validation_metrics(trained):
+    tr, scene = trained
+    m = tr.validation()
+    assert np.isfinite(m["psnr"]) and m["psnr"] > 14.0
+    assert np.isfinite(m["ate"])
+    # camera barely moves ~0.05 total; tracked trajectory must be in the
+    # right ballpark after sim3 alignment
+    assert m["ate"] < 0.05
+
+
+def test_checkpoint_roundtrip(trained, tmp_path):
+    tr, scene = trained
+    path = str(tmp_path / "ck")
+    tr.save(path)
+    before = np.asarray(tr.field.means)
+    it_before = int(tr.state.iteration)
+    tr.restore(path)
+    np.testing.assert_allclose(np.asarray(tr.field.means), before)
+    assert int(tr.state.iteration) == it_before
+
+
+def test_render_frame(trained):
+    tr, scene = trained
+    out = tr.render_frame(0)
+    img = np.asarray(out["render"])
+    assert img.shape == (3, 48, 64)
+    gt = np.asarray(scene.colors[0])
+    mse = ((np.clip(img, 0, 1) - gt) ** 2).mean()
+    assert -10 * np.log10(mse) > 15.0

@@ -90,12 +90,17 @@ def test_mapping_improves_psnr():
                         - scene.colors[0]) ** 2)
         return float(-10 * jnp.log10(mse))
 
+    from freesurgs_tpu.train.steps import MappingState
+    T, H, W = 2, scene.cam.height, scene.cam.width
+    st = MappingState(field, opt, jnp.int32(0), jax.random.PRNGKey(0),
+                      jnp.zeros((T, H, W)), jnp.zeros((T, 3, H, W)))
     p0 = psnr(field)
-    field2, opt2, aux = mapping(
-        field, opt, scene.colors, scene.monodeps, w2c_all,
-        jnp.int32(0), keyframes, jnp.int32(1), jnp.int32(0),
-        jax.random.PRNGKey(0), cam=scene.cam, cfg=cfg, n_iters=25,
-        two_views=False, sh_degree=0, densify_enabled=False)
+    st2, aux = mapping(
+        st, scene.colors, scene.monodeps, w2c_all,
+        jnp.zeros((25,), jnp.int32), keyframes, jnp.int32(1),
+        cam=scene.cam, cfg=cfg, two_views=False, sh_degree=0,
+        densify_enabled=False)
+    field2 = st2.field
     p1 = psnr(field2)
     assert np.isfinite(float(aux["loss"]))
     assert p1 > p0 + 1.0, (p0, p1)
@@ -109,11 +114,18 @@ def test_mapping_two_views_and_densify_runs():
     opt = adam_init(field.param_dict())
     keyframes = jnp.asarray([0, 1], jnp.int32)
     mapping = make_jitted_mapping(scene.cam, cfg)
-    field2, opt2, aux = mapping(
-        field, opt, scene.colors, scene.monodeps, scene.gt_w2c,
-        jnp.int32(2), keyframes, jnp.int32(2), jnp.int32(0),
-        jax.random.PRNGKey(1), cam=scene.cam, cfg=cfg, n_iters=12,
-        two_views=True, sh_degree=0, densify_enabled=True)
+    from freesurgs_tpu.train.steps import MappingState
+    T, H, W = 3, scene.cam.height, scene.cam.width
+    st = MappingState(field, opt, jnp.int32(0), jax.random.PRNGKey(1),
+                      jnp.zeros((T, H, W)), jnp.zeros((T, 3, H, W)))
+    st2, aux = mapping(
+        st, scene.colors, scene.monodeps, scene.gt_w2c,
+        jnp.full((12,), 2, jnp.int32), keyframes, jnp.int32(2),
+        cam=scene.cam, cfg=cfg, two_views=True, sh_degree=0,
+        densify_enabled=True)
     assert int(aux["iteration"]) == 12
     assert int(aux["num_active"]) > 0
     assert np.isfinite(float(aux["loss"]))
+    # current frame's caches were updated
+    assert float(jnp.abs(st2.pred_depths[2]).max()) > 0
+    assert float(jnp.abs(st2.pred_depths[0]).max()) == 0

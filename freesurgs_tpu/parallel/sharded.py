@@ -1,0 +1,153 @@
+"""Mesh-sharded rendering and training steps.
+
+Sharding layout (net-new design; the reference is single-GPU only):
+
+- The per-Gaussian stage (world->camera transform, EWA projection, SH) is
+  computed per device on the replicated parameter pytree — its cost is
+  O(N * ~100 flops), two orders below compositing.
+- The compositing stage is sharded over ROWS OF TILES along the mesh's
+  ``tiles`` axis: each device shifts the projected means into its band's
+  local pixel frame, clips tile rects to the band, bins and rasterizes
+  only its own tiles, and emits its image band. ``shard_map`` concatenates
+  bands into the full image.
+- Backward: jax.grad through the shard_map gives each device the gradient
+  contribution of its band; the replicated-parameter transpose inserts the
+  cross-device psum (riding ICI), overlapped by XLA's scheduler.
+- Multi-sequence data parallelism stacks a leading ``data`` mesh axis over
+  frames (each data shard trains on its own view); parameter gradients are
+  then additionally psum-med over ``data``.
+
+The band height must divide the padded tile grid; ``pad_height_for`` gives
+the padded camera.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.camera import Camera
+from ..core.sh import sh_to_rgb_clamped
+from ..core.transforms import transform_points
+from ..ops.oracle import rasterize_oracle
+from ..ops.projection import TILE, project_gaussians
+from ..ops.raster_pallas import RasterConfig, rasterize_pallas
+from .mesh import TILE_AXIS
+
+
+def pad_height_for(cam: Camera, n_shards: int) -> Camera:
+    """Pad image height so the tile-row grid divides evenly into bands."""
+    grid_y = -(-cam.height // TILE)
+    grid_y = -(-grid_y // n_shards) * n_shards
+    return dataclasses.replace(cam, height=grid_y * TILE)
+
+
+def render_sharded(mesh: Mesh, means3d, quats, log_scales, logit_opacity,
+                   sh_coeffs, w2c, cam: Camera, *, active=None,
+                   sh_degree: int = 0, impl: str = "oracle",
+                   max_instances: int = 4096, bg=None):
+    """Full-image render with tile-rows sharded over the mesh.
+
+    Returns dict with render (3, Hpad, W), render_dep, render_sil, final_T.
+    Output rows beyond the true cam.height are background. Differentiable
+    w.r.t. all Gaussian params and the pose.
+    """
+    n_shards = mesh.shape[TILE_AXIS]
+    pcam = pad_height_for(cam, n_shards)
+    band_h = pcam.height // n_shards
+    band_cam = dataclasses.replace(pcam, height=band_h)
+    grid_ty_band = band_h // TILE
+    if bg is None:
+        bg = jnp.ones(3, jnp.float32)
+    bg6 = jnp.concatenate([bg, jnp.ones(3, bg.dtype)])
+
+    def band(means3d, quats, log_scales, logit_opacity, sh_coeffs, w2c,
+             active, bg6):
+        b = jax.lax.axis_index(TILE_AXIS)
+        mean_cam = transform_points(w2c, means3d)
+        proj = project_gaussians(mean_cam, jnp.exp(log_scales), quats,
+                                 pcam, active=active)
+        # shift into the band's local pixel/tile frame
+        y0 = (b * band_h).astype(jnp.float32)
+        mean2d = proj.mean2d - jnp.stack(
+            [jnp.zeros_like(y0), y0])[None, :]
+        rect = proj.tile_rect
+        ty0 = jnp.clip(rect[:, 1] - b * grid_ty_band, 0, grid_ty_band)
+        ty1 = jnp.clip(rect[:, 3] - b * grid_ty_band, 0, grid_ty_band)
+        rect = jnp.stack([rect[:, 0], ty0, rect[:, 2], ty1], axis=1)
+        touched = (rect[:, 2] - rect[:, 0]) * (ty1 - ty0)
+        in_band = touched > 0
+        radius = jnp.where(in_band, proj.radius, 0)
+        proj = proj._replace(mean2d=mean2d, tile_rect=rect,
+                             tiles_touched=touched.astype(jnp.int32),
+                             radius=radius)
+
+        dirs = means3d / jnp.maximum(
+            jnp.linalg.norm(means3d, axis=-1, keepdims=True), 1e-8)
+        rgb = sh_to_rgb_clamped(sh_degree, sh_coeffs, dirs)
+        z = proj.depth
+        if impl == "oracle":
+            colors6 = jnp.concatenate(
+                [rgb, z[:, None], jnp.ones_like(z[:, None]),
+                 (z * z)[:, None]], axis=1)
+            out = rasterize_oracle(proj, colors6, jax.nn.sigmoid(
+                logit_opacity), band_h, pcam.width, bg6)
+            return out["image"], out["final_T"]
+        cfg = RasterConfig(height=band_h, width=pcam.width,
+                           max_instances=max_instances,
+                           interpret=(impl == "pallas_interpret"))
+        rgbz = jnp.concatenate([rgb, z[:, None]], axis=1)
+        out = rasterize_pallas(proj, rgbz, jax.nn.sigmoid(logit_opacity),
+                               cfg)
+        image6 = out["image"] + out["final_T"][None] * bg6[:, None, None]
+        return image6, out["final_T"]
+
+    if active is None:
+        active = jnp.ones(means3d.shape[0], bool)
+    rep = P()
+    # check_vma=False: with the varying-axes tracker enabled, the
+    # transpose of this band function (axis_index-dependent masks + sorts
+    # over replicated inputs) produces wrong parameter cotangents on
+    # jax 0.9; with it disabled the replicated-input psum transpose is
+    # correct (verified against the single-device renderer in
+    # tests/test_sharded.py::test_sharded_gradients_match).
+    image6, final_T = jax.shard_map(
+        band, mesh=mesh,
+        in_specs=(rep,) * 8,
+        out_specs=(P(None, TILE_AXIS, None), P(TILE_AXIS, None)),
+        check_vma=False,
+    )(means3d, quats, log_scales, logit_opacity, sh_coeffs, w2c, active,
+      bg6)
+    return {"render": image6[0:3], "render_dep": image6[3],
+            "render_sil": image6[4], "final_T": final_T,
+            "pad_height": pcam.height}
+
+
+def sharded_train_step(mesh: Mesh, params: dict, w2c, gt_image,
+                       cam: Camera, *, sh_degree: int = 0,
+                       impl: str = "oracle", max_instances: int = 4096,
+                       lr: float = 1e-3):
+    """One SGD step on the sharded renderer (the dry-run / scaling proof).
+
+    gt_image: (3, Hpad, W) padded target. Returns (new_params, loss).
+    Gradient math: loss reads the row-sharded image; its backward produces
+    per-band parameter grads which the shard_map transpose psums across
+    the mesh — the distributed all-reduce rides ICI without any explicit
+    collective in user code.
+    """
+
+    def loss_fn(p):
+        out = render_sharded(mesh, p["means"], p["quats"], p["log_scales"],
+                             p["logit_opacity"], p["sh"], w2c, cam,
+                             sh_degree=sh_degree, impl=impl,
+                             max_instances=max_instances)
+        return jnp.mean((out["render"] - gt_image) ** 2)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    new_params = jax.tree.map(lambda x, g: x - lr * g, params, grads)
+    return new_params, loss

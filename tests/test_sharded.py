@@ -1,0 +1,110 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh
+(SURVEY.md section 4 item 4; BASELINE config 5 miniaturized):
+sharded render == single-device render, and sharded gradients == psum of
+band gradients == single-device gradients."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from freesurgs_tpu.core.camera import Camera
+from freesurgs_tpu.ops.render import render
+from freesurgs_tpu.parallel.mesh import make_mesh
+from freesurgs_tpu.parallel.sharded import (pad_height_for, render_sharded,
+                                            sharded_train_step)
+
+CAM = Camera(height=64, width=64, fx=60.0, fy=60.0, cx=32.0, cy=32.0)
+
+
+def scene(rng, n=150):
+    means = np.stack([
+        rng.uniform(-0.5, 0.5, n), rng.uniform(-0.5, 0.5, n),
+        rng.uniform(0.6, 3.0, n)], -1).astype(np.float32)
+    return dict(
+        means=jnp.asarray(means),
+        quats=jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32)),
+        log_scales=jnp.asarray(
+            rng.uniform(-4, -2, (n, 3)).astype(np.float32)),
+        logit_opacity=jnp.asarray(
+            rng.uniform(-1, 3, n).astype(np.float32)),
+        sh=jnp.asarray(rng.normal(size=(n, 1, 3)).astype(np.float32) * 0.3))
+
+
+def test_mesh_has_8_cpu_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+@pytest.mark.parametrize("n_shards", [2, 4])
+def test_sharded_matches_single_device(rng, n_shards):
+    p = scene(rng)
+    mesh = make_mesh(n_shards)
+    out_s = render_sharded(mesh, p["means"], p["quats"], p["log_scales"],
+                           p["logit_opacity"], p["sh"], jnp.eye(4), CAM,
+                           impl="oracle")
+    out_1 = render(p["means"], p["quats"], p["log_scales"],
+                   p["logit_opacity"], p["sh"], jnp.eye(4), CAM,
+                   impl="oracle")
+    h = CAM.height
+    np.testing.assert_allclose(np.asarray(out_s["render"][:, :h]),
+                               np.asarray(out_1["render"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_s["render_dep"][:h]),
+                               np.asarray(out_1["render_dep"]), atol=1e-4)
+
+
+def test_sharded_gradients_match(rng):
+    p = scene(rng, 100)
+    mesh = make_mesh(4)
+    pcam = pad_height_for(CAM, 4)
+    wimg = jnp.asarray(rng.normal(
+        size=(3, pcam.height, pcam.width)).astype(np.float32))
+
+    def loss_sharded(p):
+        out = render_sharded(mesh, p["means"], p["quats"], p["log_scales"],
+                             p["logit_opacity"], p["sh"], jnp.eye(4), CAM,
+                             impl="oracle")
+        return jnp.sum(out["render"] * wimg)
+
+    def loss_single(p):
+        out = render(p["means"], p["quats"], p["log_scales"],
+                     p["logit_opacity"], p["sh"], jnp.eye(4), pcam,
+                     impl="oracle")
+        return jnp.sum(out["render"] * wimg)
+
+    gs = jax.grad(loss_sharded)(p)
+    g1 = jax.grad(loss_single)(p)
+    for k in p:
+        a, b = np.asarray(gs[k]), np.asarray(g1[k])
+        scale = max(np.abs(b).max(), 1e-8)
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-4,
+                                   err_msg=f"grad mismatch {k}")
+
+
+def test_sharded_train_step_reduces_loss(rng):
+    p = scene(rng, 120)
+    mesh = make_mesh(8)
+    pcam = pad_height_for(CAM, 8)
+    target = jnp.asarray(
+        rng.uniform(size=(3, pcam.height, pcam.width)).astype(np.float32))
+    step = jax.jit(lambda pp: sharded_train_step(
+        mesh, pp, jnp.eye(4), target, CAM, lr=5e-3))
+    p1, l0 = step(p)
+    p2, l1 = step(p1)
+    _, l2 = step(p2)
+    assert float(l2) < float(l0)
+
+
+def test_sharded_pallas_interpret_matches_oracle(rng):
+    """The Pallas kernel path also works inside shard_map (interpret on
+    CPU; the same code runs compiled on a real slice)."""
+    p = scene(rng, 80)
+    mesh = make_mesh(2)
+    a = render_sharded(mesh, p["means"], p["quats"], p["log_scales"],
+                       p["logit_opacity"], p["sh"], jnp.eye(4), CAM,
+                       impl="oracle")
+    b = render_sharded(mesh, p["means"], p["quats"], p["log_scales"],
+                       p["logit_opacity"], p["sh"], jnp.eye(4), CAM,
+                       impl="pallas_interpret", max_instances=2048)
+    np.testing.assert_allclose(np.asarray(a["render"]),
+                               np.asarray(b["render"]), atol=2e-5)

@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""CLI entry point: SfM-free Gaussian-splatting training on TPU.
+
+Equivalent of the reference's ``train.py`` __main__ (``train.py:547-605``):
+  python train.py --data_source_path <dir> --run_model_path <out>
+  python train.py ... --run_test true          # evaluation only
+  python train.py ... --run_start_checkpoint <ckpt-dir>
+
+The flag surface is generated from the typed Config tree (io/config.py);
+per-field TrainConfig overrides go through --train_override k=v.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def main(argv=None):
+    from freesurgs_tpu.io.config import (Config, add_to_parser, from_args,
+                                         save_config)
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    cfg = Config()
+    add_to_parser(cfg, parser)
+    args = parser.parse_args(argv)
+    cfg = from_args(cfg, args)
+
+    os.makedirs(cfg.run.model_path, exist_ok=True)
+    save_config(cfg, os.path.join(cfg.run.model_path, "config.json"))
+
+    from freesurgs_tpu.data.scared import load_scared
+    from freesurgs_tpu.train.loop import Trainer
+    from freesurgs_tpu.utils.logging import MetricsLogger
+
+    logger = MetricsLogger(cfg.run.model_path)
+    seq = load_scared(cfg.data.source_path, cfg.data.frame_start,
+                      cfg.data.frame_end, cfg.data.sample_rate)
+    logger.info(f"loaded {seq.num_frames} frames "
+                f"{seq.cam.width}x{seq.cam.height}, "
+                f"{len(seq.i_train)} train / {len(seq.i_test)} test")
+
+    trainer = Trainer(
+        seq, cfg.train_config(), sh_degree_max=cfg.model.sh_degree,
+        global_chunk=cfg.run.global_chunk,
+        init_mask_frac=cfg.model.init_mask_frac,
+        capacity=cfg.model.capacity or None, seed=cfg.run.seed,
+        log_fn=logger.info)
+
+    viewer = None
+    if cfg.run.visualize:
+        from freesurgs_tpu.viz.viewer import GSViewer
+        viewer = GSViewer.create(cfg.run.port, lambda: trainer.field,
+                                 lambda: trainer.poses.w2c(0), seq.cam,
+                                 impl=cfg.run.impl or None,
+                                 max_instances=cfg.run.max_instances)
+        if viewer is None:
+            logger.info("viser not installed; running headless")
+
+    if cfg.run.start_checkpoint:
+        trainer.restore(cfg.run.start_checkpoint)
+        logger.info(f"restored {cfg.run.start_checkpoint} at iteration "
+                    f"{int(trainer.state.iteration)}")
+
+    if cfg.run.test:
+        metrics = trainer.validation()
+        logger.log(metrics)
+        return 0
+
+    if not cfg.run.start_checkpoint:
+        trainer.progressive_run()
+        trainer.save(os.path.join(cfg.run.model_path, "ckpt_progressive"))
+    trainer.global_run()
+    trainer.save(os.path.join(cfg.run.model_path, "ckpt_final"))
+
+    from freesurgs_tpu.io.ply import field_to_ply
+    field_to_ply(trainer.field,
+                 os.path.join(cfg.run.model_path, "point_cloud.ply"))
+
+    metrics = trainer.validation()
+    logger.log(metrics)
+    logger.info("all complete")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

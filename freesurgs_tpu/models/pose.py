@@ -123,3 +123,72 @@ def adaptive_threshold_mask(x: jnp.ndarray, factor: float = 2.0):
     """mask = x <= mean + factor * std (reference
     ``utils/general_utils.py:96-116``)."""
     return x <= (jnp.mean(x) + factor * jnp.std(x))
+
+
+def flow_matches(flow_fw: jnp.ndarray, cam: Camera):
+    """Dense correspondences from precomputed forward flow
+    (reference ``get_matches``, ``scene/pose_optimizer.py:700-730``).
+
+    Returns (pts1 (H*W, 2), pts2 (H*W, 2), valid (H*W,)) with validity =
+    flow target inside the image.
+    """
+    H, W = cam.height, cam.width
+    xg, yg = pixel_grid(H, W)
+    p1 = jnp.stack([xg.reshape(-1), yg.reshape(-1)], axis=1)
+    p2 = p1 + jnp.stack([flow_fw[0].reshape(-1),
+                         flow_fw[1].reshape(-1)], axis=1)
+    valid = ((p2[:, 0] > 0) & (p2[:, 0] < W)
+             & (p2[:, 1] > 0) & (p2[:, 1] < H))
+    return p1, p2, valid
+
+
+def pnp_pose_init(poses: PoseTable, t: int, flow_fw_prev, prev_depth,
+                  prev_w2c, cam: Camera, max_points: int = 4000,
+                  seed: int = 0) -> PoseTable:
+    """PnP-based initialization of frame t (the reference's
+    ``initialize_pose(pnp=True)`` branch, ``scene/pose_optimizer.py:517-532``
+    — which calls an undefined ``solve_pose_pnp`` in the reference; here it
+    is implemented with RANSAC PnP on flow correspondences against the
+    previous frame's rendered depth). Host-side (init-time only).
+    """
+    import numpy as np
+
+    p1, p2, valid = flow_matches(flow_fw_prev, cam)
+    p1, p2 = np.asarray(p1), np.asarray(p2)
+    depth = np.asarray(prev_depth).reshape(-1)
+    valid = np.asarray(valid) & (depth > 0)
+    idx = np.flatnonzero(valid)
+    rng = np.random.default_rng(seed)
+    if len(idx) > max_points:
+        idx = rng.choice(idx, max_points, replace=False)
+    if len(idx) < 6:
+        return copy_previous_init(poses, t)
+
+    K = np.asarray(cam.intrinsic_matrix(), np.float64)
+    # back-project frame t-1 pixels into ITS camera frame
+    z = depth[idx]
+    x = (p1[idx, 0] - cam.cx) / cam.fx * z
+    y = (p1[idx, 1] - cam.cy) / cam.fy * z
+    obj = np.stack([x, y, z], -1).astype(np.float64)
+    img = p2[idx].astype(np.float64)
+
+    try:
+        import cv2
+        ok, rvec, tvec, _ = cv2.solvePnPRansac(
+            obj, img, K, None, flags=cv2.SOLVEPNP_ITERATIVE,
+            reprojectionError=3.0)
+        if not ok:
+            return copy_previous_init(poses, t)
+        R_rel, _ = cv2.Rodrigues(rvec)
+        t_rel = tvec[:, 0]
+    except ImportError:
+        return copy_previous_init(poses, t)
+
+    # rel maps cam(t-1) coords -> cam(t): w2c_t = rel @ w2c_{t-1}
+    prev = np.asarray(prev_w2c, np.float64)
+    rel = np.eye(4)
+    rel[:3, :3], rel[:3, 3] = R_rel, t_rel
+    new = rel @ prev
+    from ..core.transforms import rotmat_to_quat
+    q = rotmat_to_quat(jnp.asarray(new[:3, :3], jnp.float32))
+    return poses.set_frame(t, q, jnp.asarray(new[:3, 3], jnp.float32))

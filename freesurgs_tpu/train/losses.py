@@ -107,3 +107,52 @@ def flow_projection_loss(prev_depth, prev_w2c, cur_w2c, gt_flow_fw,
     den = 2.0 * jnp.sum(vf) + 1e-8
     loss = num / den
     return jnp.where(jnp.sum(vf) > 0, loss, 0.0)
+
+
+# -------------------------------------------------------------------------
+# MiDaS-style scale-and-shift-invariant depth loss (reference
+# ``ScaleAndShiftInvariantLoss`` + ``compute_scale_and_shift`` +
+# ``GradientLoss``, utils/loss_utils.py:138-262 — instantiated by the
+# reference trainer at train.py:104-105; available here for depth
+# supervision variants).
+
+def compute_scale_and_shift(prediction, target, mask):
+    """Closed-form least-squares (scale, shift) with target ~ s*pred + t
+    over masked pixels. Shapes (B, H, W); returns (B,), (B,)."""
+    a00 = jnp.sum(mask * prediction * prediction, (1, 2))
+    a01 = jnp.sum(mask * prediction, (1, 2))
+    a11 = jnp.sum(mask, (1, 2))
+    b0 = jnp.sum(mask * prediction * target, (1, 2))
+    b1 = jnp.sum(mask * target, (1, 2))
+    det = a00 * a11 - a01 * a01
+    ok = det != 0
+    det_safe = jnp.where(ok, det, 1.0)
+    s = jnp.where(ok, (a11 * b0 - a01 * b1) / det_safe, 0.0)
+    t = jnp.where(ok, (-a01 * b0 + a00 * b1) / det_safe, 0.0)
+    return s, t
+
+
+def _masked_gradient_loss(diff, mask):
+    gx = jnp.abs(diff[:, :, 1:] - diff[:, :, :-1]) * (
+        mask[:, :, 1:] * mask[:, :, :-1])
+    gy = jnp.abs(diff[:, 1:, :] - diff[:, :-1, :]) * (
+        mask[:, 1:, :] * mask[:, :-1, :])
+    num = jnp.sum(gx, (1, 2)) + jnp.sum(gy, (1, 2))
+    return num
+
+
+def scale_shift_invariant_loss(prediction, target, mask, scales: int = 4):
+    """Multi-scale gradient-matching loss on the scale/shift-aligned
+    prediction (alpha=1 configuration, the reference default where the
+    gradient term replaces the data term)."""
+    s, t = compute_scale_and_shift(prediction, target, mask)
+    pred = s[:, None, None] * prediction + t[:, None, None]
+    total = 0.0
+    denom = 0.0
+    for sc in range(scales):
+        step = 2 ** sc
+        d = (pred - target)[:, ::step, ::step] * mask[:, ::step, ::step]
+        total = total + jnp.sum(_masked_gradient_loss(
+            d, mask[:, ::step, ::step]))
+        denom = denom + jnp.sum(mask[:, ::step, ::step])
+    return jnp.where(denom > 0, total / jnp.maximum(denom, 1.0), 0.0)

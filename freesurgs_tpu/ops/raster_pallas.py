@@ -41,6 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .binning import CHUNK, build_tile_bins
+from .binning_fast import build_tile_bins_fast
 from .oracle import ALPHA_MAX, ALPHA_MIN, T_EPS
 from .projection import TILE, ProjectedGaussians
 
@@ -54,6 +55,8 @@ class RasterConfig(NamedTuple):
     width: int
     max_instances: int
     interpret: bool
+    fast_binning: bool = True   # sort-free hierarchical binning (identical
+                                # layout; see ops/binning_fast.py)
 
     @property
     def grid_x(self) -> int:
@@ -381,8 +384,9 @@ def _make_composite(cfg: RasterConfig):
         proj = ProjectedGaussians(mean2d=mean2d, conic=conic, depth=depth,
                                   radius=radius, tile_rect=tile_rect,
                                   tiles_touched=tiles_touched)
-        bins = build_tile_bins(proj, cfg.grid_x, cfg.grid_y,
-                               cfg.max_instances)
+        binner = (build_tile_bins_fast if cfg.fast_binning
+                  else build_tile_bins)
+        bins = binner(proj, cfg.grid_x, cfg.grid_y, cfg.max_instances)
         feat, meta = _build_feat(mean2d, conic, rgbz, opacity, bins)
         out = _run_fwd(feat, meta, cfg)
         res = (feat, meta, bins.gather_idx, out, mean2d.shape[0])

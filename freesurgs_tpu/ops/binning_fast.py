@@ -1,9 +1,8 @@
-"""Sort-free tile binning: hierarchical summed-area counting.
+"""Sort-free tile binning: hierarchical summed-area counting, fused gathers.
 
-Drop-in replacement for ``binning.build_tile_bins`` that produces the
-IDENTICAL CHUNK-aligned instance layout without the O(M log^2 M) global
-XLA sort (which dominated the render at ~100ms for M=512k on v5e; this
-path is scatter/cumsum/gather only).
+Drop-in replacement for ``binning.build_tile_bins`` producing the IDENTICAL
+CHUNK-aligned instance layout without the O(M log^2 M) global XLA sort, and
+(optionally) the kernel's (16, M) instance field buffer in the same pass.
 
 Key identity: after depth-sorting the Gaussians, each Gaussian contributes
 at most ONE instance per tile, so an instance's final rank within its tile
@@ -11,25 +10,33 @@ is exactly
 
     F(g, t) = #{ g' < g (depth order) : tile t inside rect(g') }
 
-— a prefix count of rect coverage. F is evaluated hierarchically:
+— a prefix count of rect coverage, evaluated hierarchically:
 
   level 1  blocks of S1 Gaussians: per-block tile-coverage counts from a
            4-corner scatter + 2D summed-area cumsum over the tile grid,
            then an exclusive cumsum over blocks               -> P1[b1, t]
-  level 2  sub-blocks of S2 inside each block, same corner-scatter at
+  level 2  sub-blocks of S2 inside each block, same corner scatter at
            finer granularity, exclusive cumsum inside a block -> P2[b2, t]
   level 3  exact count among the < S2 predecessors in the sub-block by
-           direct rect-containment tests                       -> P3
+           direct rect-containment tests                      -> P3
 
-  F = P1[g // S1, t] + P2[g // S2, t] + P3,
-  position = aligned_tile_start[t] + F.
+  position = aligned_tile_start[t] + P1 + P2 + P3.
 
-The slot -> Gaussian expansion similarly avoids searchsorted: scatter each
-Gaussian's depth-sorted index at its exclusive offset, then a cummax fills
-the gaps.
+TPU cost model (measured, v5e): scatters and small cumsums are ~free;
+random ROW GATHERS cost ~15 ns/row regardless of row width. The layout is
+therefore engineered around exactly TWO M-row gathers:
 
-All quantities (capacity clamping, CHUNK alignment, overflow accounting)
-match ``build_tile_bins`` exactly — asserted in tests/test_binning_fast.py.
+  1. a per-Gaussian "megarecord" (depth-sorted) holding offsets, rect,
+     sub-block id, original index, the 32 byte-packed rects of the
+     Gaussian's own sub-block (for level 3), and the 10 f32 render fields;
+  2. one element gather from the combined table
+     COMB[b2, t] = aligned_start[t] + P1[b1(b2), t] + P2[b2, t].
+
+The slot -> Gaussian expansion avoids searchsorted: scatter each Gaussian's
+depth-sorted index at its exclusive offset, then cummax fills the runs.
+
+Layout equality with ``build_tile_bins`` is asserted in
+tests/test_binning_fast.py (including capacity-overflow cases).
 """
 
 from __future__ import annotations
@@ -42,14 +49,11 @@ from .projection import ProjectedGaussians
 
 S1 = 1024   # level-1 block of gaussians
 S2 = 32     # level-2 sub-block
+FEAT_DIM = 16
 
 
 def _sat_counts(rect, block_of_g, n_blocks, grid_x, grid_y):
-    """Per-(block, tile) coverage counts via corner scatter + 2D cumsum.
-
-    rect: (N, 4) int32 (tx0, ty0, tx1, ty1) half-open, zeroed when culled.
-    Returns (n_blocks, grid_y, grid_x) int32.
-    """
+    """Per-(block, tile) coverage counts via corner scatter + 2D cumsum."""
     bins = jnp.zeros((n_blocks, grid_y + 1, grid_x + 1), jnp.int32)
     tx0, ty0, tx1, ty1 = rect[:, 0], rect[:, 1], rect[:, 2], rect[:, 3]
     one = jnp.ones_like(tx0)
@@ -62,8 +66,12 @@ def _sat_counts(rect, block_of_g, n_blocks, grid_x, grid_y):
     return bins[:, :grid_y, :grid_x]
 
 
-def build_tile_bins_fast(proj: ProjectedGaussians, grid_x: int, grid_y: int,
-                         max_instances: int) -> TileBins:
+def bin_and_gather(proj: ProjectedGaussians, grid_x: int, grid_y: int,
+                   max_instances: int, fields: jnp.ndarray | None = None):
+    """Build tile bins; optionally also scatter per-instance ``fields``
+    ((N, 10) f32 rows [mx, my, A, B, C, opac, r, g, b, z]) into the
+    kernel's (FEAT_DIM, M) buffer. Returns (TileBins, feat | None).
+    """
     assert max_instances % CHUNK == 0
     n = proj.depth.shape[0]
     num_tiles = grid_x * grid_y
@@ -76,6 +84,7 @@ def build_tile_bins_fast(proj: ProjectedGaussians, grid_x: int, grid_y: int,
     offsets = jnp.cumsum(counts)
     offsets_excl = offsets - counts
     total = offsets[-1]
+    kept = jnp.minimum(total, m)
 
     # ---- hierarchical coverage prefix tables
     n_b2 = -(-n // S2)
@@ -84,43 +93,55 @@ def build_tile_bins_fast(proj: ProjectedGaussians, grid_x: int, grid_y: int,
     cov_sub = cov_sub.reshape(n_b2, num_tiles)     # (B2, T)
     n_b1 = -(-n_b2 // (S1 // S2))
     pad_b2 = n_b1 * (S1 // S2) - n_b2
-    cov_sub_p = jnp.pad(cov_sub, ((0, pad_b2), (0, 0)))
-    cov_grp = cov_sub_p.reshape(n_b1, S1 // S2, num_tiles)
-    # exclusive cumsum of sub-blocks within their block
-    P2 = jnp.cumsum(cov_grp, axis=1) - cov_grp     # (B1, S1/S2, T)
-    P2 = P2.reshape(n_b1 * (S1 // S2), num_tiles)
-    cov_block = jnp.sum(cov_grp, axis=1)           # (B1, T)
-    P1 = jnp.cumsum(cov_block, axis=0) - cov_block
-    tile_total = (P1[-1] + cov_block[-1]).astype(jnp.int32)  # (T,)
+    cov_grp = jnp.pad(cov_sub, ((0, pad_b2), (0, 0))).reshape(
+        n_b1, S1 // S2, num_tiles)
+    P2 = (jnp.cumsum(cov_grp, axis=1) - cov_grp).reshape(
+        n_b1 * (S1 // S2), num_tiles)              # (B2pad, T)
+    cov_block = jnp.sum(cov_grp, axis=1)
+    P1 = jnp.cumsum(cov_block, axis=0) - cov_block  # (B1, T)
+    P1g = jnp.repeat(P1, S1 // S2, axis=0)          # (B2pad, T)
 
-    # capacity-aware aligned layout (identical math to build_tile_bins)
-    # raw kept instances: expansion slots < m, deepest dropped first
-    kept = jnp.minimum(total, m)
-    # per-tile raw counts among KEPT instances: tile_total minus the
-    # dropped tail's contribution. Compute dropped-tail coverage with the
-    # same SAT over the dropped gaussians' partial rects is complex;
-    # instead clamp each tile's count by how many of its instances fall
-    # below the slot cap — derived per instance below, counted by scatter.
+    # ---- per-Gaussian megarecord (all slot-phase lookups in ONE gather)
+    packed_rect = (rect[:, 0] | (rect[:, 1] << 8) | (rect[:, 2] << 16)
+                   | (rect[:, 3] << 24)).astype(jnp.int32)
+    sub_rows = jnp.pad(packed_rect, (0, n_b2 * S2 - n)).reshape(n_b2, S2)
+    sub_rows_per_g = jnp.repeat(sub_rows, S2, axis=0)[:n]   # (N, S2)
+    rec_cols = [offsets_excl[:, None], rect,
+                (g_ids // S2)[:, None], order[:, None].astype(jnp.int32),
+                (g_ids % S2)[:, None], sub_rows_per_g]
+    if fields is not None:
+        rec_cols.append(
+            jax.lax.bitcast_convert_type(fields[order], jnp.int32))
+    rec = jnp.concatenate(rec_cols, axis=1)         # (N, 8+S2[+10])
+    rec = jnp.concatenate(
+        [rec, jnp.zeros((1, rec.shape[1]), jnp.int32)], axis=0)
 
-    # ---- slot -> gaussian map (no searchsorted): scatter + cummax
+    # ---- slot -> gaussian map (scatter + cummax; no searchsorted)
     slots = jnp.arange(m, dtype=jnp.int32)
     pos_mark = jnp.where((counts > 0) & (offsets_excl < m),
                          offsets_excl, m)
     gmark = jnp.full((m + 1,), -1, jnp.int32)
     gmark = gmark.at[pos_mark].max(g_ids)[:m]
-    g_sorted = jax.lax.cummax(gmark)               # (M,) depth-order index
-    slot_valid = slots < kept
-    g_safe = jnp.clip(g_sorted, 0, n - 1)
+    g_sorted = jax.lax.cummax(gmark)
+    slot_valid = (slots < kept) & (g_sorted >= 0)
+    g_safe = jnp.where(slot_valid, g_sorted, n)     # sentinel zero row
 
-    local = slots - offsets_excl[g_safe]
-    rect_g = rect[g_safe]
-    width_g = jnp.maximum(rect_g[:, 2] - rect_g[:, 0], 1)
-    tile_y = rect_g[:, 1] + local // width_g
-    tile_x = rect_g[:, 0] + local % width_g
+    rec_g = rec[g_safe]                             # THE megarecord gather
+    off_g = rec_g[:, 0]
+    tx0, ty0, tx1 = rec_g[:, 1], rec_g[:, 2], rec_g[:, 3]
+    b2_g = rec_g[:, 5]
+    orig_g = rec_g[:, 6]
+    loc_g = rec_g[:, 7]
+    subpk = rec_g[:, 8:8 + S2]                      # (M, S2) packed rects
+
+    local = slots - off_g
+    width_g = jnp.maximum(tx1 - tx0, 1)
+    tile_y = ty0 + local // width_g
+    tile_x = tx0 + local % width_g
     tile_id = jnp.where(slot_valid, tile_y * grid_x + tile_x, num_tiles)
     tile_safe = jnp.minimum(tile_id, num_tiles - 1)
 
-    # per-tile count of kept instances (for meta + alignment)
+    # per-tile kept counts -> aligned layout (scatter-add is cheap on TPU)
     raw_count = jnp.zeros((num_tiles + 1,), jnp.int32).at[tile_id].add(
         jnp.where(slot_valid, 1, 0), mode="drop")[:num_tiles]
     padded_count = -(-raw_count // CHUNK) * CHUNK
@@ -128,32 +149,42 @@ def build_tile_bins_fast(proj: ProjectedGaussians, grid_x: int, grid_y: int,
         [jnp.zeros(1, jnp.int32), jnp.cumsum(padded_count)[:-1]])
     fit_count = jnp.clip(m - padded_start, 0, raw_count)
 
-    # ---- rank within tile: F = P1 + P2 + P3
-    b1 = g_safe // S1
-    b2 = g_safe // S2
-    rank = (P1[b1, tile_safe] + P2[b2, tile_safe]).astype(jnp.int32)
-    # level 3: predecessors within the sub-block
-    rects_by_sub = jnp.pad(
-        rect.astype(jnp.int32), ((0, n_b2 * S2 - n), (0, 0))
-    ).reshape(n_b2, S2, 4)
-    r32 = rects_by_sub[b2]                         # (M, S2, 4)
-    loc = (g_safe % S2)[:, None]
+    # ---- rank: COMB gather + in-register level 3
+    COMB = P1g + P2 + padded_start[None, :]
+    pos0 = COMB[b2_g, tile_safe]
+    ptx0 = subpk & 0xFF
+    pty0 = (subpk >> 8) & 0xFF
+    ptx1 = (subpk >> 16) & 0xFF
+    pty1 = (subpk >> 24) & 0xFF
     k32 = jnp.arange(S2, dtype=jnp.int32)[None, :]
-    contains = ((tile_x[:, None] >= r32[:, :, 0])
-                & (tile_x[:, None] < r32[:, :, 2])
-                & (tile_y[:, None] >= r32[:, :, 1])
-                & (tile_y[:, None] < r32[:, :, 3])
-                & (k32 < loc))
-    rank = rank + jnp.sum(contains, axis=1).astype(jnp.int32)
+    contains = ((tile_x[:, None] >= ptx0) & (tile_x[:, None] < ptx1)
+                & (tile_y[:, None] >= pty0) & (tile_y[:, None] < pty1)
+                & (k32 < loc_g[:, None]))
+    pos = pos0 + jnp.sum(contains, axis=1).astype(jnp.int32)
 
-    pos = padded_start[tile_safe] + rank
-    keep = slot_valid & (rank < fit_count[tile_safe]) & (pos < m)
+    # keep = slot_valid & pos < m: rank < raw_count holds by construction,
+    # and rank < fit_count[tile] is equivalent to pos < m.
+    keep = slot_valid & (pos < m)
     pos_safe = jnp.where(keep, pos, m)
     gather_idx = jnp.full((m + 1,), n, jnp.int32)
     gather_idx = gather_idx.at[pos_safe].set(
-        jnp.where(keep, order[g_safe], n), mode="drop")[:m]
+        jnp.where(keep, orig_g, n), mode="drop")[:m]
 
     kept_final = jnp.sum(fit_count).astype(jnp.int32)
-    return TileBins(gather_idx=gather_idx, tile_start=padded_start,
+    bins = TileBins(gather_idx=gather_idx, tile_start=padded_start,
                     tile_count=fit_count, num_instances=kept_final,
                     overflow=(total - kept_final).astype(jnp.int32))
+
+    feat = None
+    if fields is not None:
+        vals = jax.lax.bitcast_convert_type(rec_g[:, 8 + S2:], jnp.float32)
+        vals = jnp.where(keep[:, None], vals, 0.0)
+        feat_rows = jnp.zeros((m + 1, FEAT_DIM), jnp.float32)
+        feat_rows = feat_rows.at[pos_safe, :10].set(vals, mode="drop")[:m]
+        feat = feat_rows.T                          # (FEAT_DIM, M)
+    return bins, feat
+
+
+def build_tile_bins_fast(proj: ProjectedGaussians, grid_x: int,
+                         grid_y: int, max_instances: int) -> TileBins:
+    return bin_and_gather(proj, grid_x, grid_y, max_instances)[0]

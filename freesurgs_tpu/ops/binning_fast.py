@@ -95,17 +95,18 @@ def bin_and_gather(proj: ProjectedGaussians, grid_x: int, grid_y: int,
     pad_b2 = n_b1 * (S1 // S2) - n_b2
     cov_grp = jnp.pad(cov_sub, ((0, pad_b2), (0, 0))).reshape(
         n_b1, S1 // S2, num_tiles)
-    P2 = (jnp.cumsum(cov_grp, axis=1) - cov_grp).reshape(
-        n_b1 * (S1 // S2), num_tiles)              # (B2pad, T)
+    P2g = jnp.cumsum(cov_grp, axis=1) - cov_grp    # (B1, S1/S2, T)
     cov_block = jnp.sum(cov_grp, axis=1)
     P1 = jnp.cumsum(cov_block, axis=0) - cov_block  # (B1, T)
-    P1g = jnp.repeat(P1, S1 // S2, axis=0)          # (B2pad, T)
 
     # ---- per-Gaussian megarecord (all slot-phase lookups in ONE gather)
     packed_rect = (rect[:, 0] | (rect[:, 1] << 8) | (rect[:, 2] << 16)
                    | (rect[:, 3] << 24)).astype(jnp.int32)
     sub_rows = jnp.pad(packed_rect, (0, n_b2 * S2 - n)).reshape(n_b2, S2)
-    sub_rows_per_g = jnp.repeat(sub_rows, S2, axis=0)[:n]   # (N, S2)
+    # broadcast (not repeat: repeat lowers to a slow gather) each sub-block
+    # row to its S2 gaussians
+    sub_rows_per_g = jnp.broadcast_to(
+        sub_rows[:, None, :], (n_b2, S2, S2)).reshape(n_b2 * S2, S2)[:n]
     rec_cols = [offsets_excl[:, None], rect,
                 (g_ids // S2)[:, None], order[:, None].astype(jnp.int32),
                 (g_ids % S2)[:, None], sub_rows_per_g]
@@ -150,8 +151,9 @@ def bin_and_gather(proj: ProjectedGaussians, grid_x: int, grid_y: int,
     fit_count = jnp.clip(m - padded_start, 0, raw_count)
 
     # ---- rank: COMB gather + in-register level 3
-    COMB = P1g + P2 + padded_start[None, :]
-    pos0 = COMB[b2_g, tile_safe]
+    COMB = (P1[:, None, :] + P2g
+            + padded_start[None, None, :]).reshape(-1, num_tiles)
+    pos0 = COMB.reshape(-1)[b2_g * num_tiles + tile_safe]
     ptx0 = subpk & 0xFF
     pty0 = (subpk >> 8) & 0xFF
     ptx1 = (subpk >> 16) & 0xFF

@@ -401,8 +401,12 @@ def _make_composite(cfg: RasterConfig):
     def _composite_bwd(res, gout):
         feat, meta, gather_idx, out_saved, n = res
         dfeat = _run_bwd(feat, meta, out_saved, gout, cfg)
-        dsrc = jax.ops.segment_sum(dfeat.T, gather_idx,
-                                   num_segments=n + 1)[:n]
+        # Column-wise 1-D segment sums: a single (M, 16) row-windowed
+        # scatter-add serializes in the TPU lowering (orders of magnitude
+        # slower); per-column scatter-adds are ~free.
+        cols = [jnp.zeros((n + 1,), jnp.float32).at[gather_idx]
+                .add(dfeat[k], mode="drop")[:n] for k in range(10)]
+        dsrc = jnp.stack(cols, axis=1)              # (n, 10)
         f0 = jax.dtypes.float0
         zi = lambda x: np.zeros(x.shape, f0)  # noqa: E731
         return (dsrc[:, 0:2], dsrc[:, 2:5], dsrc[:, 6:10], dsrc[:, 5],

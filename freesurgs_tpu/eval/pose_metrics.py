@@ -82,6 +82,11 @@ def evaluate_poses(pred_w2c: np.ndarray, gt_poses: np.ndarray):
     """
     pred = np.asarray(pred_w2c, np.float64)
     gt = np.asarray(gt_poses, np.float64)
+    if not np.isfinite(pred).all():
+        return {"rpe_trans": float("inf"), "rpe_rot_deg": float("inf"),
+                "ate": float("inf"),
+                "non_finite_poses": int((~np.isfinite(pred)
+                                         .all(axis=(1, 2))).sum())}
     aligned = align_trajectory_sim3(pred, gt)
     a = ate_rmse(gt, aligned)
     rt, rr = rpe(gt, aligned)

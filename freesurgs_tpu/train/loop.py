@@ -111,8 +111,17 @@ class Trainer:
     def field(self) -> GaussianField:
         return self.state.field
 
-    def _maybe_grow(self):
-        """Grow capacity when the slot pool is nearly full (host event)."""
+    def _maybe_grow(self, every: int = 1):
+        """Grow capacity when the slot pool is nearly full (host event).
+
+        ``every`` rate-limits the device->host occupancy read: on tunneled
+        backends a host sync is expensive, so the progressive loop checks
+        every few frames only (capacity has 10% headroom + growth is 1.6x,
+        so a few densify events of slack are safe).
+        """
+        self._grow_tick = getattr(self, "_grow_tick", 0) + 1
+        if self._grow_tick % every:
+            return
         n_act = int(self.field.num_active)
         cap = self.field.capacity
         if n_act > 0.9 * cap:
@@ -188,12 +197,14 @@ class Trainer:
                         else self.cfg.mapping_iters)
                 aux = self._map_frame(t, n_it, two_views=(t > 0))
                 self.keyframes.append(t)
-                self._maybe_grow()
+                self._maybe_grow(every=5)
                 metrics.update({k: aux[k] for k in ("loss", "num_active")})
             self.history.append({"stage": "progressive", "frame": t,
-                                 **{k: float(v)
-                                    for k, v in metrics.items()}})
+                                 **metrics})  # device scalars; converted
+                                              # lazily by consumers
             if t % 10 == 0:
+                # the float() conversions force a device sync — only at
+                # the logging cadence, not per frame
                 self.log_fn(
                     f"[progressive {t}/{self.num_frames}] "
                     + " ".join(f"{k}={float(v):.4g}"

@@ -103,7 +103,10 @@ def flow_projection_loss(prev_depth, prev_w2c, cur_w2c, gt_flow_fw,
              & (proj[:, 1] > edge) & (proj[:, 1] < H - edge)
              & (z > 0))
     vf = valid.astype(induced.dtype)[:, None]
-    num = jnp.sum(jnp.abs(induced - gt) * vf)
+    # select-before-multiply: invalid pixels can project to +/-inf (z near
+    # the division epsilon), and inf * 0 would poison the sum with NaN
+    diff = jnp.where(vf > 0, induced - gt, 0.0)
+    num = jnp.sum(jnp.abs(diff))
     den = 2.0 * jnp.sum(vf) + 1e-8
     loss = num / den
     return jnp.where(jnp.sum(vf) > 0, loss, 0.0)

@@ -115,6 +115,11 @@ def tracking_loop(field: GaussianField, quat0, trans0, gt_image, prev_depth,
     def body(i, carry):
         pose, opt, _ = carry
         (loss, (rgb, flow)), grads = grad_fn(pose)
+        # NaN guard (reference keeps similar guards in its losses,
+        # scene/pose_optimizer.py:213-214): a single non-finite gradient
+        # must not poison the pose for all remaining iterations.
+        grads = jax.tree.map(
+            lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads)
         lr = tracking_lr(i, cfg.tracking_iters)
         upd, opt = adam_update(grads, opt, lr)
         pose = apply_updates(pose, upd)

@@ -47,7 +47,8 @@ class RunConfig:
     log_metrics: bool = True
     global_chunk: int = 100
     impl: str = ""                # '' -> auto (pallas on TPU)
-    max_instances: int = 2_000_000
+    max_instances: int = 786_432
+    debug_nans: bool = False      # jax_debug_nans (detect_anomaly analogue)
 
 
 @dataclass

@@ -60,8 +60,10 @@ def render_sharded(mesh: Mesh, means3d, quats, log_scales, logit_opacity,
     n_shards = mesh.shape[TILE_AXIS]
     pcam = pad_height_for(cam, n_shards)
     band_h = pcam.height // n_shards
-    band_cam = dataclasses.replace(pcam, height=band_h)
     grid_ty_band = band_h // TILE
+    # each band only bins its own instances: scale the slot capacity so
+    # binning cost divides across the mesh like compositing does
+    max_instances = max(-(-max_instances // n_shards // 128) * 128, 128)
     if bg is None:
         bg = jnp.ones(3, jnp.float32)
     bg6 = jnp.concatenate([bg, jnp.ones(3, bg.dtype)])

@@ -27,6 +27,10 @@ def main(argv=None):
     args = parser.parse_args(argv)
     cfg = from_args(cfg, args)
 
+    if cfg.run.debug_nans:
+        from freesurgs_tpu.utils.profiling import enable_nan_debugging
+        enable_nan_debugging()
+
     os.makedirs(cfg.run.model_path, exist_ok=True)
     save_config(cfg, os.path.join(cfg.run.model_path, "config.json"))
 

@@ -24,6 +24,34 @@ def psnr(gts: np.ndarray, preds: np.ndarray) -> float:
     return float((-10.0 * np.log10(np.maximum(mse, 1e-12))).mean())
 
 
+def _ssim_skimage_single(a: np.ndarray, b: np.ndarray,
+                         data_range: float = 1.0,
+                         win: int = 7) -> float:
+    """skimage.metrics.structural_similarity semantics (uniform 7x7
+    window, sample covariance normalization N/(N-1), crop-to-valid mean),
+    reimplemented on scipy so eval parity holds without skimage installed.
+    a, b: (H, W) single channel."""
+    from scipy.ndimage import uniform_filter
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    ndw = win * win
+    cov_norm = ndw / (ndw - 1)
+    ux = uniform_filter(a, win)
+    uy = uniform_filter(b, win)
+    uxx = uniform_filter(a * a, win)
+    uyy = uniform_filter(b * b, win)
+    uxy = uniform_filter(a * b, win)
+    vx = cov_norm * (uxx - ux * ux)
+    vy = cov_norm * (uyy - uy * uy)
+    vxy = cov_norm * (uxy - ux * uy)
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+    ssim_map = (((2 * ux * uy + c1) * (2 * vxy + c2))
+                / ((ux ** 2 + uy ** 2 + c1) * (vx + vy + c2)))
+    pad = (win - 1) // 2
+    return float(ssim_map[pad:-pad, pad:-pad].mean())
+
+
 def ssim_metric(gts: np.ndarray, preds: np.ndarray) -> float:
     try:
         from skimage.metrics import structural_similarity
@@ -32,9 +60,9 @@ def ssim_metric(gts: np.ndarray, preds: np.ndarray) -> float:
             channel_axis=2) for g, p in zip(gts, preds)]
         return float(np.mean(vals))
     except ImportError:
-        import jax.numpy as jnp
-        from ..ops.ssim import ssim as jssim
-        vals = [float(jssim(jnp.asarray(g), jnp.asarray(p)))
+        # channel_axis SSIM = mean over per-channel SSIMs
+        vals = [np.mean([_ssim_skimage_single(g[c], p[c])
+                         for c in range(g.shape[0])])
                 for g, p in zip(gts, preds)]
         return float(np.mean(vals))
 

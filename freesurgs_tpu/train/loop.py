@@ -141,6 +141,20 @@ class Trainer:
                               nu=jax.tree.map(pad, opt.nu))
             self.state = self.state._replace(field=field, opt=opt)
 
+    def _check_overflow(self, aux):
+        """Grow the instance-buffer capacity when the binner dropped
+        instances (device scalar read — call at logging cadence only).
+        Triggers a one-off recompile of the jitted steps."""
+        ov = float(aux.get("overflow_max", 0.0))
+        if ov > 0:
+            cur = self.cfg.max_instances or 0
+            new_m = -(-int((cur + ov) * 1.5) // 128) * 128
+            self.log_fn(f"instance overflow {int(ov)}: max_instances "
+                        f"{cur} -> {new_m} (recompiling)")
+            self.cfg = self.cfg._replace(max_instances=new_m)
+            self._mapping = make_jitted_mapping(self.cam, self.cfg)
+            self._tracking = make_jitted_tracking(self.cam, self.cfg)
+
     def _update_sh_degree(self):
         it = int(self.state.iteration)
         want = min(it // self.cfg.sh_increase_interval, self.sh_degree_max)
@@ -210,6 +224,8 @@ class Trainer:
                     + " ".join(f"{k}={float(v):.4g}"
                                for k, v in metrics.items())
                     + f" ({time.time() - t0:.1f}s)")
+                if t in i_train:
+                    self._check_overflow(aux)
 
     def global_run(self, iters: int | None = None):
         iters = iters if iters is not None else self.cfg.global_iters
@@ -231,6 +247,7 @@ class Trainer:
             done += n
             self._maybe_grow()
             if done % 1000 < self.global_chunk:
+                self._check_overflow(aux)
                 self.log_fn(
                     f"[global {done}/{iters}] loss={float(aux['loss']):.4f}"
                     f" active={int(aux['num_active'])}"

@@ -16,11 +16,9 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.camera import Camera
-from ..models.gaussians import GaussianField
-from ..train.optim import AdamState
 from ..train.steps import MappingState, TrainConfig, mapping_chunk
 from .mesh import DATA_AXIS
 

@@ -24,12 +24,10 @@ the padded camera.
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core.camera import Camera
 from ..core.sh import sh_to_rgb_clamped

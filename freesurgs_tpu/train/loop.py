@@ -64,6 +64,8 @@ class Trainer:
     capacity: int | None = None
     seed: int = 6666
     log_fn: Any = print
+    checkpoint_dir: str | None = None     # periodic saves (reference
+    checkpoint_every: int = 5000          # saves every 5000, train.py:437)
 
     def __post_init__(self):
         seq = self.seq
@@ -246,6 +248,9 @@ class Trainer:
                 sh_degree=self.active_sh_degree, densify_enabled=True)
             done += n
             self._maybe_grow()
+            if (self.checkpoint_dir
+                    and done % self.checkpoint_every < n):
+                self.save(f"{self.checkpoint_dir}/ckpt_{done:07d}")
             if done % 1000 < self.global_chunk:
                 self._check_overflow(aux)
                 self.log_fn(

@@ -19,7 +19,7 @@ CUDA-kernel pair per iteration. Weights and schedules match ``train.py``:
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -50,7 +50,7 @@ def main(argv=None):
         global_chunk=cfg.run.global_chunk,
         init_mask_frac=cfg.model.init_mask_frac,
         capacity=cfg.model.capacity or None, seed=cfg.run.seed,
-        log_fn=logger.info)
+        log_fn=logger.info, checkpoint_dir=cfg.run.model_path)
 
     viewer = None
     if cfg.run.visualize:

@@ -47,7 +47,7 @@ class RunConfig:
     log_metrics: bool = True
     global_chunk: int = 100
     impl: str = ""                # '' -> auto (pallas on TPU)
-    max_instances: int = 786_432
+    max_instances: int = 0        # 0 -> auto-size from frame-0 coverage
     debug_nans: bool = False      # jax_debug_nans (detect_anomaly analogue)
 
 

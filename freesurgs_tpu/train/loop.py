@@ -100,6 +100,20 @@ class Trainer:
             iteration=jnp.zeros((), jnp.int32), key=self.key,
             pred_depths=pred_depths, pred_colors=pred_colors)
 
+        # auto-size the instance buffer from frame 0's actual tile
+        # coverage (binning cost scales with this capacity; the overflow
+        # check grows it later if the map densifies past the margin)
+        if not self.cfg.max_instances:
+            from ..ops.projection import project_gaussians
+            proj = jax.jit(lambda f: project_gaussians(
+                f.means, jnp.exp(f.log_scales), f.quats, self.cam,
+                active=f.active))(field)
+            total = int(jnp.sum(proj.tiles_touched))
+            m = max(-(-int(3.0 * total) // 128) * 128, 4096)
+            self.log_fn(f"auto max_instances: {m} "
+                        f"(frame-0 instances {total})")
+            self.cfg = self.cfg._replace(max_instances=m)
+
         self.keyframes: list[int] = []
         self._mapping = make_jitted_mapping(self.cam, self.cfg)
         self._tracking = make_jitted_tracking(self.cam, self.cfg)

@@ -33,7 +33,7 @@ from ..core.camera import Camera
 from ..core.sh import sh_to_rgb_clamped
 from ..core.transforms import transform_points
 from ..ops.oracle import rasterize_oracle
-from ..ops.projection import TILE, project_gaussians
+from ..ops.projection import TILE, ProjectedGaussians, project_gaussians
 from ..ops.raster_pallas import RasterConfig, rasterize_pallas
 from .mesh import TILE_AXIS
 
@@ -151,3 +151,100 @@ def sharded_train_step(mesh: Mesh, params: dict, w2c, gt_image,
     loss, grads = jax.value_and_grad(loss_fn)(params)
     new_params = jax.tree.map(lambda x, g: x - lr * g, params, grads)
     return new_params, loss
+
+
+def render_sharded_full(mesh: Mesh, means3d, quats, log_scales,
+                        logit_opacity, sh_coeffs, w2c, cam: Camera, *,
+                        active=None, probe2d=None, sh_degree: int = 0,
+                        impl: str = "oracle", max_instances: int = 4096,
+                        bg=None, gs_grad: bool = True,
+                        cam_grad: bool = True):
+    """Band-sharded render with the full single-chip ``render()`` contract:
+    probe2d view-space-gradient support, radii/visibility for densification
+    statistics, per-band overflow accounting, gs/cam stop-grad switches.
+
+    The per-Gaussian stage (transform, EWA projection, SH) runs OUTSIDE the
+    shard_map (it is replicated either way); bands only clip + bin +
+    composite. Output rows beyond cam.height (band padding) are cropped.
+    """
+    n_shards = mesh.shape[TILE_AXIS]
+    pcam = pad_height_for(cam, n_shards)
+    band_h = pcam.height // n_shards
+    grid_ty_band = band_h // TILE
+    band_max_inst = max(-(-max_instances // n_shards // 128) * 128, 128)
+    if bg is None:
+        bg = jnp.ones(3, jnp.float32)
+    bg6 = jnp.concatenate([bg, jnp.ones(3, bg.dtype)])
+    if active is None:
+        active = jnp.ones(means3d.shape[0], bool)
+
+    gs = (lambda x: x) if gs_grad else jax.lax.stop_gradient
+    cg = (lambda x: x) if cam_grad else jax.lax.stop_gradient
+
+    mean_cam = transform_points(cg(w2c), gs(means3d))
+    proj = project_gaussians(mean_cam, jnp.exp(gs(log_scales)),
+                             gs(quats), pcam, active=active)
+    mean2d = proj.mean2d if probe2d is None else proj.mean2d + probe2d
+    proj = proj._replace(mean2d=mean2d)
+    dirs = means3d / jnp.maximum(
+        jnp.linalg.norm(means3d, axis=-1, keepdims=True), 1e-8)
+    rgb = sh_to_rgb_clamped(sh_degree, gs(sh_coeffs), dirs)
+    opacity = jax.nn.sigmoid(gs(logit_opacity))
+    z = proj.depth
+
+    def band(mean2d, conic, depth, radius, rect, touched, rgb, opacity,
+             bg6):
+        b = jax.lax.axis_index(TILE_AXIS)
+        y0 = (b * band_h).astype(jnp.float32)
+        mean2d = mean2d - jnp.stack([jnp.zeros_like(y0), y0])[None, :]
+        ty0 = jnp.clip(rect[:, 1] - b * grid_ty_band, 0, grid_ty_band)
+        ty1 = jnp.clip(rect[:, 3] - b * grid_ty_band, 0, grid_ty_band)
+        rect = jnp.stack([rect[:, 0], ty0, rect[:, 2], ty1], axis=1)
+        touched = ((rect[:, 2] - rect[:, 0]) * (ty1 - ty0)).astype(
+            jnp.int32)
+        radius = jnp.where(touched > 0, radius, 0)
+        bproj = ProjectedGaussians(mean2d=mean2d, conic=conic, depth=depth,
+                                   radius=radius, tile_rect=rect,
+                                   tiles_touched=touched)
+        if impl == "oracle":
+            colors6 = jnp.concatenate(
+                [rgb, depth[:, None], jnp.ones_like(depth[:, None]),
+                 (depth * depth)[:, None]], axis=1)
+            out = rasterize_oracle(bproj, colors6, opacity, band_h,
+                                   pcam.width, bg6)
+            return out["image"], out["final_T"], jnp.zeros((1,), jnp.int32)
+        cfg = RasterConfig(height=band_h, width=pcam.width,
+                           max_instances=band_max_inst,
+                           interpret=(impl == "pallas_interpret"))
+        rgbz = jnp.concatenate([rgb, depth[:, None]], axis=1)
+        out = rasterize_pallas(bproj, rgbz, opacity, cfg)
+        image6 = out["image"] + out["final_T"][None] * bg6[:, None, None]
+        return image6, out["final_T"], out["overflow"][None]
+
+    rep = P()
+    # check_vma=False: see render_sharded
+    image6, final_T, overflow = jax.shard_map(
+        band, mesh=mesh, in_specs=(rep,) * 9,
+        out_specs=(P(None, TILE_AXIS, None), P(TILE_AXIS, None),
+                   P(TILE_AXIS)),
+        check_vma=False,
+    )(proj.mean2d, proj.conic, proj.depth, proj.radius, proj.tile_rect,
+      proj.tiles_touched, rgb, opacity, bg6)
+
+    h = cam.height
+    image6 = image6[:, :h]
+    depth_img = image6[3]
+    sil = image6[4]
+    uncertainty = jax.lax.stop_gradient(image6[5] - depth_img * depth_img)
+    return {
+        "render": image6[0:3],
+        "render_dep": depth_img,
+        "render_sil": sil,
+        "presence_mask": sil > 0.3,
+        "uncertainty": uncertainty,
+        "final_T": final_T[:h],
+        "render_w2c": cg(w2c),
+        "radii": proj.radius,
+        "visibility": proj.radius > 0,
+        "overflow": jnp.sum(overflow),
+    }

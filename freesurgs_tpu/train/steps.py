@@ -143,7 +143,16 @@ class MappingState(NamedTuple):
     pred_colors: jnp.ndarray   # (T, 3, H, W) per-frame rendered-color cache
 
 
-def _render_view(field: GaussianField, w2c, cam, cfg, sh_degree, probe):
+def _render_view(field: GaussianField, w2c, cam, cfg, sh_degree, probe,
+                 mesh=None):
+    if mesh is not None:
+        from ..parallel.sharded import render_sharded_full
+        return render_sharded_full(
+            mesh, field.means, field.quats, field.log_scales,
+            field.logit_opacity, field.sh, w2c, cam, active=field.active,
+            probe2d=probe, sh_degree=sh_degree,
+            impl=cfg.impl or "pallas", max_instances=cfg.max_instances,
+            gs_grad=True, cam_grad=False)
     return render(field.means, field.quats, field.log_scales,
                   field.logit_opacity, field.sh, w2c, cam,
                   active=field.active, probe2d=probe, sh_degree=sh_degree,
@@ -156,7 +165,7 @@ def mapping_chunk(state: MappingState,
                   cur_ts, keyframes, n_keyframes,
                   cam: Camera, cfg: TrainConfig,
                   two_views: bool, sh_degree: int,
-                  densify_enabled: bool = True):
+                  densify_enabled: bool = True, mesh=None):
     """Run ``len(cur_ts)`` mapping iterations as ONE jitted call.
 
     Mirrors FreeSurGS.mapping + densification (train.py:213-316):
@@ -186,7 +195,7 @@ def mapping_chunk(state: MappingState,
         def view_loss(params, probe, t_idx, lp_key):
             f = field.replace(**params)
             out = _render_view(f, w2c_all[t_idx], cam, cfg, sh_degree,
-                               probe)
+                               probe, mesh=mesh)
             gt = jax.lax.dynamic_index_in_dim(colors_all, t_idx, 0, False)
             mono = jax.lax.dynamic_index_in_dim(monodeps_all, t_idx, 0,
                                                 False)
@@ -277,7 +286,7 @@ def make_jitted_mapping(cam: Camera, cfg: TrainConfig):
     return jax.jit(
         mapping_chunk,
         static_argnames=("cam", "cfg", "two_views", "sh_degree",
-                         "densify_enabled"))
+                         "densify_enabled", "mesh"))
 
 
 def make_jitted_tracking(cam: Camera, cfg: TrainConfig):

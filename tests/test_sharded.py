@@ -108,3 +108,85 @@ def test_sharded_pallas_interpret_matches_oracle(rng):
                        impl="pallas_interpret", max_instances=2048)
     np.testing.assert_allclose(np.asarray(a["render"]),
                                np.asarray(b["render"]), atol=2e-5)
+
+
+def test_full_sharded_matches_render_contract(rng):
+    """render_sharded_full == single-chip render() including radii and
+    probe2d view-space gradients (the densification statistics path)."""
+    import jax
+
+    from freesurgs_tpu.parallel.sharded import render_sharded_full
+
+    p = scene(rng, 90)
+    mesh = make_mesh(4)
+    probe = jnp.zeros((90, 2))
+
+    out_s = render_sharded_full(mesh, p["means"], p["quats"],
+                                p["log_scales"], p["logit_opacity"],
+                                p["sh"], jnp.eye(4), CAM, probe2d=probe,
+                                impl="oracle")
+    out_1 = render(p["means"], p["quats"], p["log_scales"],
+                   p["logit_opacity"], p["sh"], jnp.eye(4), CAM,
+                   probe2d=probe, impl="oracle")
+    np.testing.assert_allclose(np.asarray(out_s["render"]),
+                               np.asarray(out_1["render"]), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out_s["radii"]),
+                                  np.asarray(out_1["radii"]))
+
+    def loss(pr, impl_mesh):
+        if impl_mesh is None:
+            o = render(p["means"], p["quats"], p["log_scales"],
+                       p["logit_opacity"], p["sh"], jnp.eye(4), CAM,
+                       probe2d=pr, impl="oracle")
+        else:
+            o = render_sharded_full(impl_mesh, p["means"], p["quats"],
+                                    p["log_scales"], p["logit_opacity"],
+                                    p["sh"], jnp.eye(4), CAM, probe2d=pr,
+                                    impl="oracle")
+        return jnp.mean(o["render"] ** 2)
+
+    g1 = np.asarray(jax.grad(lambda pr: loss(pr, None))(probe))
+    gs = np.asarray(jax.grad(lambda pr: loss(pr, mesh))(probe))
+    scale = max(np.abs(g1).max(), 1e-8)
+    np.testing.assert_allclose(gs / scale, g1 / scale, atol=2e-4)
+
+
+def test_mapping_chunk_with_mesh_matches_single(rng):
+    """The full mapping training step (loss + grads + Adam + densify
+    stats) produces identical parameter updates with band-sharded
+    rendering (config 5: tile-sharded training)."""
+    import jax
+
+    from freesurgs_tpu.data.synthetic import make_scene
+    from freesurgs_tpu.train.optim import adam_init
+    from freesurgs_tpu.train.steps import (MappingState, TrainConfig,
+                                           mapping_chunk)
+    from tests.test_training_steps import field_from_scene
+
+    scene_ = make_scene(num_frames=2, n_gaussians=150, height=64, width=64,
+                        seed=9)
+    field = field_from_scene(scene_, cap=256, perturb=0.01)
+    cfg = TrainConfig(max_instances=4096, impl="oracle",
+                      densify_interval=10_000)
+    kf = jnp.zeros((2,), jnp.int32)
+    ts = jnp.zeros((3,), jnp.int32)
+
+    def run(mesh):
+        st = MappingState(field, adam_init(field.param_dict()),
+                          jnp.int32(0), jax.random.PRNGKey(0),
+                          jnp.zeros((2, 64, 64)), jnp.zeros((2, 3, 64, 64)))
+        st2, aux = mapping_chunk(st, scene_.colors, scene_.monodeps,
+                                 scene_.gt_w2c, ts, kf, jnp.int32(1),
+                                 cam=scene_.cam, cfg=cfg, two_views=False,
+                                 sh_degree=0, densify_enabled=True,
+                                 mesh=mesh)
+        return st2
+
+    a = run(None)
+    b = run(make_mesh(4))
+    np.testing.assert_allclose(np.asarray(a.field.means),
+                               np.asarray(b.field.means), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(a.field.grad_denom),
+                               np.asarray(b.field.grad_denom), atol=0)
+    np.testing.assert_allclose(np.asarray(a.field.logit_opacity),
+                               np.asarray(b.field.logit_opacity), atol=2e-4)

@@ -66,6 +66,8 @@ class Trainer:
     log_fn: Any = print
     checkpoint_dir: str | None = None     # periodic saves (reference
     checkpoint_every: int = 5000          # saves every 5000, train.py:437)
+    mesh: Any = None                      # jax Mesh: band-sharded mapping
+                                          # (multi-chip; None = single)
 
     def __post_init__(self):
         seq = self.seq
@@ -195,7 +197,8 @@ class Trainer:
             jnp.full((n_iters,), t, jnp.int32), kf_pad,
             jnp.int32(len(self.keyframes) or 1),
             cam=self.cam, cfg=self.cfg, two_views=two_views,
-            sh_degree=self.active_sh_degree, densify_enabled=True)
+            sh_degree=self.active_sh_degree, densify_enabled=True,
+            mesh=self.mesh)
         return aux
 
     # ------------------------------------------------------------- stages
@@ -259,7 +262,8 @@ class Trainer:
                 self.state, self.colors, self.monodeps, w2c_all,
                 ts, kf_pad, jnp.int32(1),
                 cam=self.cam, cfg=self.cfg, two_views=False,
-                sh_degree=self.active_sh_degree, densify_enabled=True)
+                sh_degree=self.active_sh_degree, densify_enabled=True,
+                mesh=self.mesh)
             done += n
             self._maybe_grow()
             if (self.checkpoint_dir

@@ -213,7 +213,7 @@ class Trainer:
             self.colors[t], self.state.pred_depths[t - 1],
             jax.lax.stop_gradient(self.poses.w2c(t - 1)),
             self.flows_fw[t - 1], rigid, self.cam, self.cfg,
-            sh_degree=self.active_sh_degree)
+            sh_degree=self.active_sh_degree, mesh=self.mesh)
         self.poses = self.poses.set_frame(t, q, tr)
         return metrics
 

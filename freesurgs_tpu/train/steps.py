@@ -86,7 +86,7 @@ class TrainConfig(NamedTuple):
 
 def tracking_loop(field: GaussianField, quat0, trans0, gt_image, prev_depth,
                   prev_w2c, flow_fw_prev, rigid_mask, cam: Camera,
-                  cfg: TrainConfig, sh_degree: int = 0):
+                  cfg: TrainConfig, sh_degree: int = 0, mesh=None):
     """Optimize one frame's (quat, trans) for cfg.tracking_iters Adam steps.
 
     All Gaussian parameters are frozen (gs_grad=False). Returns
@@ -97,11 +97,21 @@ def tracking_loop(field: GaussianField, quat0, trans0, gt_image, prev_depth,
 
     def loss_fn(pose):
         w2c = build_w2c(pose["q"], pose["t"])
-        out = render(field.means, field.quats, field.log_scales,
-                     field.logit_opacity, field.sh, w2c, cam,
-                     active=field.active, sh_degree=sh_degree,
-                     impl=cfg.impl, max_instances=cfg.max_instances,
-                     gs_grad=False, cam_grad=True)
+        if mesh is not None:
+            from ..parallel.sharded import render_sharded_full
+            out = render_sharded_full(
+                mesh, field.means, field.quats, field.log_scales,
+                field.logit_opacity, field.sh, w2c, cam,
+                active=field.active, sh_degree=sh_degree,
+                impl=cfg.impl or "pallas",
+                max_instances=cfg.max_instances,
+                gs_grad=False, cam_grad=True)
+        else:
+            out = render(field.means, field.quats, field.log_scales,
+                         field.logit_opacity, field.sh, w2c, cam,
+                         active=field.active, sh_degree=sh_degree,
+                         impl=cfg.impl, max_instances=cfg.max_instances,
+                         gs_grad=False, cam_grad=True)
         mask = (out["render_dep"] > 0) & (rigid_mask > 0)
         rgb = cfg.w_rgb_tracking * losses.rgb_loss(out["render"], gt_image,
                                                    mask=mask)
@@ -291,4 +301,4 @@ def make_jitted_mapping(cam: Camera, cfg: TrainConfig):
 
 def make_jitted_tracking(cam: Camera, cfg: TrainConfig):
     return jax.jit(tracking_loop,
-                   static_argnames=("cam", "cfg", "sh_degree"))
+                   static_argnames=("cam", "cfg", "sh_degree", "mesh"))

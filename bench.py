@@ -5,9 +5,10 @@ Prints ONE JSON line:
   {"metric": "render_fwdbwd_mpix_per_s", "value": N, "unit": "Mpix/s",
    "vs_baseline": R}
 
-Setup mirrors BASELINE.json's headline config: 100k Gaussians, SH deg 0,
-640x512 frame, full forward + backward through the Pallas rasterizer
-(projection, binning, compositing, gradients to every Gaussian parameter).
+Setup mirrors BASELINE.json's headline config at the reference's native
+SCARED resolution: 100k Gaussians, SH degree 3, 1280x1024 frame, full
+forward + backward through the Pallas rasterizer (projection, binning,
+compositing, gradients to every Gaussian parameter).
 
 ``vs_baseline`` is measured against the reference CUDA pipeline's
 equivalent throughput. The reference publishes no numbers (BASELINE.md);
@@ -37,9 +38,9 @@ def main():
     impl = "pallas" if on_tpu else "pallas_interpret"
     # CPU fallback (no chip): tiny shapes so the line still prints.
     if on_tpu:
-        H, W, N, MAXI, iters = 512, 640, 100_000, 393_216, 10
+        H, W, N, MAXI, iters, sh_deg, sh_k = 1024, 1280, 100_000,             1_048_576, 5, 3, 16
     else:
-        H, W, N, MAXI, iters = 64, 64, 2_000, 8_192, 2
+        H, W, N, MAXI, iters, sh_deg, sh_k = 64, 64, 2_000, 8_192, 2, 0, 1
 
     rng = np.random.default_rng(0)
     cam = Camera(height=H, width=W, fx=W * 0.78, fy=W * 0.78, cx=W / 2,
@@ -51,11 +52,11 @@ def main():
     log_scales = jnp.asarray(
         np.log(rng.uniform(0.004, 0.012, (N, 3))).astype(np.float32))
     logit_op = jnp.asarray(rng.uniform(-2, 2, N).astype(np.float32))
-    sh = jnp.asarray(rng.normal(size=(N, 1, 3)).astype(np.float32) * 0.3)
+    sh = jnp.asarray(rng.normal(size=(N, sh_k, 3)).astype(np.float32) * 0.3)
 
     def loss(m, q, s, o, c):
         out = render(m, q, s, o, c, jnp.eye(4), cam, impl=impl,
-                     max_instances=MAXI)
+                     sh_degree=sh_deg, max_instances=MAXI)
         return jnp.mean(out["render"] ** 2) + 0.1 * jnp.mean(
             out["render_dep"])
 

@@ -150,11 +150,11 @@ def _chunk_channels(f):
 
 # ---------------------------------------------------------------- forward
 
-def _fwd_kernel(grid_x: int, meta_ref, feat_hbm, out_ref, buf, sems,
-                acc_s, logT_s, done_s):
+def _fwd_kernel(grid_x: int, starts_ref, counts_ref, feat_hbm, out_ref,
+                buf, sems, acc_s, logT_s, done_s):
     t = pl.program_id(0)
-    start = meta_ref[t, 0]
-    count = meta_ref[t, 1]
+    start = starts_ref[t]
+    count = counts_ref[t]
     n_chunks = pl.cdiv(count, CHUNK)
     pixx, pixy = _tile_pixels(t, grid_x)
     tri = _tri_incl()
@@ -202,10 +202,11 @@ def _fwd_kernel(grid_x: int, meta_ref, feat_hbm, out_ref, buf, sems,
 
 def _run_fwd(feat, meta, cfg: RasterConfig):
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(cfg.num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((1, N_PIX, N_OUT), lambda t, meta: (t, 0, 0),
+        out_specs=pl.BlockSpec((1, N_PIX, N_OUT),
+                               lambda t, starts, counts: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, FEAT_DIM, CHUNK), jnp.float32),
@@ -221,16 +222,17 @@ def _run_fwd(feat, meta, cfg: RasterConfig):
                                        jnp.float32),
         grid_spec=grid_spec,
         interpret=cfg.interpret,
-    )(meta, feat)
+    )(meta[:, 0], meta[:, 1], feat)
 
 
 # --------------------------------------------------------------- backward
 
-def _bwd_kernel(grid_x: int, meta_ref, feat_hbm, out_saved_ref, gout_ref,
-                dfeat_hbm, buf, dbuf, sems, wsem, logT_s, done_s, gcarry_s):
+def _bwd_kernel(grid_x: int, starts_ref, counts_ref, feat_hbm,
+                out_saved_ref, gout_ref, dfeat_hbm, buf, dbuf, sems, wsem,
+                logT_s, done_s, gcarry_s):
     t = pl.program_id(0)
-    start = meta_ref[t, 0]
-    count = meta_ref[t, 1]
+    start = starts_ref[t]
+    count = counts_ref[t]
     n_chunks = pl.cdiv(count, CHUNK)
     pixx, pixy = _tile_pixels(t, grid_x)
     tri = _tri_incl()
@@ -318,13 +320,15 @@ def _bwd_kernel(grid_x: int, meta_ref, feat_hbm, out_saved_ref, gout_ref,
 
 def _run_bwd(feat, meta, out_saved, gout, cfg: RasterConfig):
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(cfg.num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, N_PIX, N_OUT), lambda t, meta: (t, 0, 0),
+            pl.BlockSpec((1, N_PIX, N_OUT),
+                         lambda t, starts, counts: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N_PIX, N_OUT), lambda t, meta: (t, 0, 0),
+            pl.BlockSpec((1, N_PIX, N_OUT),
+                         lambda t, starts, counts: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -344,7 +348,7 @@ def _run_bwd(feat, meta, out_saved, gout, cfg: RasterConfig):
         grid_spec=grid_spec,
         interpret=cfg.interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(meta, feat, out_saved, gout)
+    )(meta[:, 0], meta[:, 1], feat, out_saved, gout)
 
 
 # ----------------------------------------------------- custom_vjp wrapper

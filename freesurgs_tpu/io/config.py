@@ -98,8 +98,12 @@ def from_args(cfg: Config, args: argparse.Namespace) -> Config:
         proto = TrainConfig()._asdict()
         if k not in proto:
             raise KeyError(f"unknown TrainConfig field {k}")
-        cfg.train_overrides[k] = type(proto[k])(
-            json.loads(v) if not isinstance(proto[k], str) else v)
+        if proto[k] is None or isinstance(proto[k], str):
+            # str-typed fields (including optional ones whose default is
+            # None, e.g. impl): take the raw string
+            cfg.train_overrides[k] = v
+        else:
+            cfg.train_overrides[k] = type(proto[k])(json.loads(v))
     return cfg
 
 

@@ -34,6 +34,29 @@ from .projection import ProjectedGaussians
 CHUNK = 128  # instances per kernel step; lane-dim alignment quantum
 
 
+def derive_bin_rect(proj: ProjectedGaussians, scale: int
+                    ) -> ProjectedGaussians:
+    """Coarsen the 16px tile rect to (16*scale)px binning granularity.
+
+    Binning at 32x32 while compositing masks per pixel with the original
+    16px rect is exactly equivalent to the CUDA 16px binning (an instance's
+    16-rect containing a pixel's 16-tile implies overlap with the enclosing
+    32-tile), but produces ~2-3x fewer duplicated instances — the instance
+    count, not the kernel, is the TPU bottleneck (BASELINE.md).
+    """
+    if scale == 1:
+        return proj
+    r = proj.tile_rect
+    lo = r[:, 0:2] // scale
+    hi = -(-r[:, 2:4] // scale)
+    rect = jnp.concatenate([lo, hi], axis=1)
+    tiles = (hi[:, 0] - lo[:, 0]) * (hi[:, 1] - lo[:, 1])
+    tiles = jnp.where(proj.tiles_touched > 0, tiles, 0).astype(jnp.int32)
+    rect = jnp.where((proj.tiles_touched > 0)[:, None], rect, 0)
+    return proj._replace(tile_rect=rect.astype(jnp.int32),
+                         tiles_touched=tiles)
+
+
 class TileBins(NamedTuple):
     gather_idx: jnp.ndarray    # (M,) instance slot -> original gaussian index
                                #      (== n for padding/empty slots)

@@ -179,16 +179,17 @@ def bin_and_gather(proj: ProjectedGaussians, grid_x: int, grid_y: int,
 
     feat = None
     if fields is not None:
+        nf = fields.shape[1]
         vals = jax.lax.bitcast_convert_type(rec_g[:, 8 + S2:], jnp.float32)
         vals = jnp.where(keep[:, None], vals, 0.0)
         # Column-wise 1-D scatters: a single windowed 2-D row scatter
-        # serializes in the TPU lowering (~2s for M=512k); ten 1-D
+        # serializes in the TPU lowering (~2s for M=512k); per-column 1-D
         # scatters are ~free.
         rows = [jnp.zeros((m + 1,), jnp.float32)
                 .at[pos_safe].set(vals[:, k], mode="drop")[:m]
-                for k in range(10)]
+                for k in range(nf)]
         zeros = jnp.zeros((m,), jnp.float32)
-        feat = jnp.stack(rows + [zeros] * (FEAT_DIM - 10))  # (FEAT_DIM, M)
+        feat = jnp.stack(rows + [zeros] * (FEAT_DIM - nf))  # (FEAT_DIM, M)
     return bins, feat
 
 

@@ -311,15 +311,71 @@ class Trainer:
     # ------------------------------------------------------- persistence
     def save(self, path: str):
         from ..io.checkpoint import save_checkpoint
-        save_checkpoint(path, self.capture(), int(self.state.iteration))
+        save_checkpoint(path, self.capture(), int(self.state.iteration),
+                        meta=self._shape_meta())
 
     def capture(self):
         return {"state": self.state, "poses": self.poses,
                 "keyframes": np.asarray(self.keyframes, np.int64),
                 "active_sh_degree": self.active_sh_degree}
 
+    def _shape_meta(self) -> dict:
+        return {"capacity": self.field.capacity,
+                "n_keyframes": len(self.keyframes),
+                "sh_rest_k": int(self.field.sh_rest.shape[1]),
+                "num_frames": self.num_frames,
+                "max_instances": int(self.cfg.max_instances or 0)}
+
+    def _resize_capacity(self, new_cap: int):
+        """Re-shape field + optimizer moments to ``new_cap`` slots (both
+        directions; used to build a restore template matching a checkpoint
+        saved after capacity growth)."""
+        cap = self.field.capacity
+        if new_cap == cap:
+            return
+        if new_cap > cap:
+            field = grow_capacity(self.field, new_cap)
+
+            def fit(x):
+                if x.ndim == 0 or x.shape[0] != cap:
+                    return x
+                return jnp.pad(x, [(0, new_cap - cap)]
+                               + [(0, 0)] * (x.ndim - 1))
+        else:
+            def shrink(x):
+                if x.ndim == 0 or x.shape[0] != cap:
+                    return x
+                return x[:new_cap]
+            field = jax.tree.map(shrink, self.field)
+            fit = shrink
+        opt = self.state.opt
+        opt = opt.replace(mu=jax.tree.map(fit, opt.mu),
+                          nu=jax.tree.map(fit, opt.nu))
+        self.state = self.state._replace(field=field, opt=opt)
+
     def restore(self, path: str):
-        from ..io.checkpoint import restore_checkpoint
+        """Restore a checkpoint — including into a FRESHLY CONSTRUCTED
+        Trainer whose capacity / keyframe count differ from save time
+        (the actual --run_start_checkpoint path; the shapes come from the
+        checkpoint's metadata sidecar, reference ``train.py:106-113``)."""
+        from ..io.checkpoint import load_checkpoint_meta, restore_checkpoint
+        meta = load_checkpoint_meta(path)
+        if meta is not None:
+            assert meta["num_frames"] == self.num_frames, (
+                f"checkpoint has {meta['num_frames']} frames, sequence has "
+                f"{self.num_frames}: restoring into a different sequence")
+            assert meta["sh_rest_k"] == self.field.sh_rest.shape[1], (
+                "sh_degree mismatch between checkpoint and Trainer config")
+            self._resize_capacity(meta["capacity"])
+            self.keyframes = [0] * meta["n_keyframes"]
+            if meta.get("max_instances"):
+                # keep the grown instance buffer (avoids an immediate
+                # overflow-triggered recompile after resume)
+                if meta["max_instances"] != (self.cfg.max_instances or 0):
+                    self.cfg = self.cfg._replace(
+                        max_instances=meta["max_instances"])
+                    self._mapping = make_jitted_mapping(self.cam, self.cfg)
+                    self._tracking = make_jitted_tracking(self.cam, self.cfg)
         restored, _ = restore_checkpoint(path, template=self.capture())
         self.state = jax.tree.map(jnp.asarray, restored["state"])
         self.poses = jax.tree.map(jnp.asarray, restored["poses"])

@@ -29,17 +29,18 @@ def make_scene(rng, n, sh_k=1):
             jnp.asarray(logit_op), jnp.asarray(sh))
 
 
-def both(args, w2c, **kw):
+def both(args, w2c, bin_tile=32, **kw):
     a = render(*args, w2c, CAM, impl="oracle", **kw)
     b = render(*args, w2c, CAM, impl="pallas_interpret",
-               max_instances=4096, **kw)
+               max_instances=4096, bin_tile=bin_tile, **kw)
     return a, b
 
 
-def test_forward_parity(rng):
+@pytest.mark.parametrize("bin_tile", [16, 32])
+def test_forward_parity(rng, bin_tile):
     args = make_scene(rng, 200)
     w2c = jnp.eye(4)
-    a, b = both(args, w2c)
+    a, b = both(args, w2c, bin_tile=bin_tile)
     assert int(b["overflow"]) == 0
     np.testing.assert_allclose(np.asarray(a["render"]),
                                np.asarray(b["render"]), atol=2e-5)
@@ -61,7 +62,8 @@ def test_forward_parity_sh3(rng):
                                np.asarray(b["render"]), atol=2e-5)
 
 
-def test_gradient_parity(rng):
+@pytest.mark.parametrize("bin_tile", [16, 32])
+def test_gradient_parity(rng, bin_tile):
     """Pixel-gradient parity: grads of a random-weighted image sum w.r.t.
     every Gaussian parameter AND the camera pose must match."""
     args = make_scene(rng, 120)
@@ -75,7 +77,7 @@ def test_gradient_parity(rng):
     def loss(means, quats, ls, lo, sh, q, t, impl):
         w2c = build_w2c(q, t)
         out = render(means, quats, ls, lo, sh, w2c, CAM, impl=impl,
-                     max_instances=4096)
+                     max_instances=4096, bin_tile=bin_tile)
         return (jnp.sum(out["render"] * wimg)
                 + jnp.sum(out["render_dep"] * wdep))
 

@@ -1,0 +1,80 @@
+"""Regression guard for the ``check_vma=False`` workaround in
+``parallel/sharded.py``.
+
+Context (VERDICT round-1 weak item 4): on jax 0.9 the shard_map varying-
+axes checker makes the transpose of the band renderer produce WRONG
+parameter cotangents, so ``check_vma=False`` is load-bearing. Multi-chip
+gradient correctness therefore rests on (a) the gradient-parity assertion
+below and (b) knowing which JAX versions the combination was verified on.
+
+This test fails LOUDLY in two situations:
+ 1. the installed jax version is one we have not re-verified — update
+    ``VERIFIED_JAX`` after confirming ``test_gradient_parity_under_vma_off``
+    passes (it runs first and is the real gate);
+ 2. the gradient parity itself breaks (a jax upgrade silently changing
+    shard_map transpose semantics).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from freesurgs_tpu.core.camera import Camera
+from freesurgs_tpu.ops.render import render
+from freesurgs_tpu.parallel.mesh import make_mesh
+from freesurgs_tpu.parallel.sharded import pad_height_for, render_sharded
+
+# Versions on which the check_vma=False transpose was verified to produce
+# parameter cotangents matching the single-device renderer.
+VERIFIED_JAX = ("0.9.0", "0.9.1")
+
+CAM = Camera(height=32, width=32, fx=30.0, fy=30.0, cx=16.0, cy=16.0)
+
+
+def _scene(rng, n=60):
+    means = np.stack([
+        rng.uniform(-0.5, 0.5, n), rng.uniform(-0.5, 0.5, n),
+        rng.uniform(0.6, 3.0, n)], -1).astype(np.float32)
+    return (jnp.asarray(means),
+            jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32)),
+            jnp.asarray(rng.uniform(-4, -2, (n, 3)).astype(np.float32)),
+            jnp.asarray(rng.uniform(-1, 3, n).astype(np.float32)),
+            jnp.asarray(rng.normal(size=(n, 1, 3)).astype(np.float32) * 0.3))
+
+
+def test_jax_version_is_verified():
+    assert jax.__version__ in VERIFIED_JAX, (
+        f"jax {jax.__version__} is not on the verified list {VERIFIED_JAX}. "
+        "The check_vma=False workaround in parallel/sharded.py must be "
+        "re-validated on this version: run this file's gradient parity "
+        "test, then (1) if it passes, add the version to VERIFIED_JAX; "
+        "(2) if it fails, the shard_map transpose semantics changed — "
+        "re-audit sharded.py before trusting ANY multi-chip gradient.")
+
+
+def test_gradient_parity_under_vma_off(rng):
+    """The real gate: band-sharded parameter gradients == single-device."""
+    args = _scene(rng)
+    mesh = make_mesh(4)
+    pcam = pad_height_for(CAM, 4)
+    wimg = jnp.asarray(
+        rng.normal(size=(3, pcam.height, pcam.width)).astype(np.float32))
+
+    def loss_sharded(*p):
+        out = render_sharded(mesh, *p, jnp.eye(4), CAM, impl="oracle")
+        return jnp.sum(out["render"] * wimg)
+
+    def loss_single(*p):
+        out = render(*p, jnp.eye(4), pcam, impl="oracle")
+        return jnp.sum(out["render"] * wimg)
+
+    gs = jax.grad(loss_sharded, argnums=tuple(range(5)))(*args)
+    g1 = jax.grad(loss_single, argnums=tuple(range(5)))(*args)
+    for name, a, b in zip(["means", "quats", "log_scales", "logit_op",
+                           "sh"], g1, gs):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-5,
+                                   err_msg=f"sharded cotangent wrong: {name}"
+                                   " (check_vma workaround broke; see "
+                                   "module docstring)")

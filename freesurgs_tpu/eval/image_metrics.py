@@ -67,8 +67,23 @@ def ssim_metric(gts: np.ndarray, preds: np.ndarray) -> float:
         return float(np.mean(vals))
 
 
-def lpips_metric(gts: np.ndarray, preds: np.ndarray) -> float:
-    """AlexNet LPIPS v0.1 (reference parity); NaN if unavailable."""
+def lpips_metric(gts: np.ndarray, preds: np.ndarray) -> tuple[float, str]:
+    """AlexNet LPIPS v0.1 (reference parity). Returns (value, backend).
+
+    Backend resolution order:
+      "weights"         — native jnp net + exported pretrained weights
+                          (scripts/export_lpips_weights.py): full parity
+                          with the reference's lpips package, no torch.
+      "lpips_pkg"       — the lpips package if importable.
+      "random_features" — native jnp net, fixed-seed random trunk. A
+                          usable perceptual distance (relative comparisons,
+                          trend tracking) but NOT comparable to published
+                          LPIPS values; callers should report the backend.
+    """
+    from .lpips_jax import load_weights, lpips_alex, random_weights
+    w = load_weights()
+    if w is not None:
+        return lpips_alex(gts, preds, w), "weights"
     try:
         import lpips  # type: ignore
         import torch
@@ -76,14 +91,21 @@ def lpips_metric(gts: np.ndarray, preds: np.ndarray) -> float:
         g = torch.from_numpy(2.0 * np.asarray(gts, np.float32) - 1.0)
         p = torch.from_numpy(2.0 * np.asarray(preds, np.float32) - 1.0)
         with torch.no_grad():
-            return float(metric(g, p).mean())
+            return float(metric(g, p).mean()), "lpips_pkg"
     except Exception:
-        return float("nan")
+        pass
+    return lpips_alex(gts, preds, random_weights()), "random_features"
 
 
 def rgb_evaluation(gts: np.ndarray, preds: np.ndarray) -> dict:
-    """Reference-compatible triple over (T, 3, H, W) stacks in [0, 1]."""
+    """Reference-compatible triple over (T, 3, H, W) stacks in [0, 1].
+
+    ``lpips_backend`` records which LPIPS implementation produced the
+    value (see ``lpips_metric``) — "random_features" values are internal-
+    trend-only, not comparable to published numbers.
+    """
     gts = np.clip(np.asarray(gts, np.float32), 0.0, 1.0)
     preds = np.clip(np.asarray(preds, np.float32), 0.0, 1.0)
+    lp, backend = lpips_metric(gts, preds)
     return {"psnr": psnr(gts, preds), "ssim": ssim_metric(gts, preds),
-            "lpips": lpips_metric(gts, preds)}
+            "lpips": lp, "lpips_backend": backend}

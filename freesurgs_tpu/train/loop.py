@@ -68,6 +68,13 @@ class Trainer:
     checkpoint_every: int = 5000          # saves every 5000, train.py:437)
     mesh: Any = None                      # jax Mesh: band-sharded mapping
                                           # (multi-chip; None = single)
+    viewer: Any = None                    # GSViewer (or any object with
+                                          # wait_if_paused/report): both
+                                          # loops cooperate, train.py:227-231
+    panel_fn: Any = None                  # callable(name, hwc_img, step):
+                                          # labeled comparison panels
+                                          # (reference train.py:349-365)
+    panel_every: int = 25                 # emit every N mapped frames
 
     def __post_init__(self):
         seq = self.seq
@@ -117,6 +124,7 @@ class Trainer:
             self.cfg = self.cfg._replace(max_instances=m)
 
         self.keyframes: list[int] = []
+        self.cur_frame = 0        # viewer anchor: most recent frame pose
         self._mapping = make_jitted_mapping(self.cam, self.cfg)
         self._tracking = make_jitted_tracking(self.cam, self.cfg)
         self._rigidity = jax.jit(
@@ -187,6 +195,37 @@ class Trainer:
                                  self.flows_fw[t - 2])
         return posemod.adaptive_threshold_mask(sampson).astype(jnp.float32)
 
+    def _emit_panel(self, t: int, name: str = "compare"):
+        """Labeled render | GT | depth | flow comparison panel (the
+        reference's per-mapped-frame wandb images, ``train.py:349-365``,
+        layout per ``vis/layout.py:109-214``)."""
+        if self.panel_fn is None:
+            return
+        from ..utils.image import (add_label, colorize_depth, colorize_flow,
+                                   hcat)
+        out = self.render_frame(t)
+        parts = [
+            add_label(np.clip(np.asarray(out["render"]), 0, 1), "render"),
+            add_label(np.asarray(self.colors[t]), "gt"),
+            add_label(colorize_depth(np.asarray(out["render_dep"])),
+                      "depth"),
+            add_label(colorize_depth(np.asarray(self.monodeps[t])),
+                      "monodep"),
+        ]
+        if t + 1 < self.num_frames:
+            parts.append(add_label(
+                colorize_flow(np.asarray(self.flows_fw[t])), "flow"))
+        self.panel_fn(f"{name}_f{t:04d}", hcat(*parts),
+                      int(self.state.iteration))
+
+    def _viewer_tick(self, rays_per_sec: float | None = None):
+        v = self.viewer
+        if v is None:
+            return
+        if hasattr(v, "report"):
+            v.report(rays_per_sec=rays_per_sec, frame=self.cur_frame)
+        v.wait_if_paused()
+
     def _map_frame(self, t: int, n_iters: int, two_views: bool):
         kf = jnp.asarray(self.keyframes or [0], jnp.int32)
         kf_pad = jnp.zeros((self.num_frames,), jnp.int32
@@ -219,8 +258,12 @@ class Trainer:
 
     def progressive_run(self):
         i_train = set(int(i) for i in self.seq.i_train)
+        from ..utils.profiling import StepTimer
+        timer = StepTimer(self.cam.height, self.cam.width)
         t0 = time.time()
         for t in range(self.num_frames):
+            timer.start()
+            self.cur_frame = t
             metrics = {}
             if t > 0:
                 metrics = self.track_frame(t)
@@ -232,9 +275,14 @@ class Trainer:
                 self.keyframes.append(t)
                 self._maybe_grow(every=5)
                 metrics.update({k: aux[k] for k in ("loss", "num_active")})
+                if self.panel_fn is not None and t % self.panel_every == 0:
+                    self._emit_panel(t)
             self.history.append({"stage": "progressive", "frame": t,
                                  **metrics})  # device scalars; converted
                                               # lazily by consumers
+            if self.viewer is not None:
+                timer.stop(sync_on=self.state.field.num_active)
+                self._viewer_tick(timer.rays_per_sec)
             if t % 10 == 0:
                 # the float() conversions force a device sync — only at
                 # the logging cadence, not per frame
@@ -251,9 +299,12 @@ class Trainer:
         i_train = np.asarray(self.seq.i_train, np.int64)
         rng = np.random.default_rng(self.seed + 1)
         w2c_all = jax.lax.stop_gradient(self.poses.all_w2c())
+        from ..utils.profiling import StepTimer
+        timer = StepTimer(self.cam.height, self.cam.width)
         done = 0
         t0 = time.time()
         while done < iters:
+            timer.start()
             self._update_sh_degree()
             n = min(self.global_chunk, iters - done)
             ts = jnp.asarray(rng.choice(i_train, size=n), jnp.int32)
@@ -265,7 +316,11 @@ class Trainer:
                 sh_degree=self.active_sh_degree, densify_enabled=True,
                 mesh=self.mesh)
             done += n
+            self.cur_frame = int(ts[-1])
             self._maybe_grow()
+            if self.viewer is not None:
+                timer.stop(sync_on=self.state.field.num_active)
+                self._viewer_tick(n * timer.rays_per_sec)
             if (self.checkpoint_dir
                     and done % self.checkpoint_every < n):
                 self.save(f"{self.checkpoint_dir}/ckpt_{done:07d}")
@@ -296,6 +351,8 @@ class Trainer:
             out = self.render_frame(t)
             preds.append(np.clip(np.asarray(out["render"]), 0, 1))
             gts.append(np.asarray(self.colors[t]))
+            self._emit_panel(t, name="val")  # reference eval panels,
+                                             # vis/visualizer.py:281-299
         metrics: dict = {}
         if preds:
             metrics.update(rgb_evaluation(np.stack(gts), np.stack(preds)))

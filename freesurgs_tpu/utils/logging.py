@@ -49,6 +49,19 @@ class MetricsLogger:
         if echo:
             self.info(" ".join(f"{k}={v}" for k, v in rec.items()))
 
+    def log_image(self, name: str, img, step: int | None = None):
+        """Save a (H, W, 3) float panel under ``out_dir/panels/`` and
+        forward to wandb when attached (the reference's training-time
+        image comparison panels, ``train.py:349-365``)."""
+        from .image import save_image
+        d = os.path.join(os.path.dirname(self.path), "panels")
+        os.makedirs(d, exist_ok=True)
+        suffix = f"_{step:07d}" if step is not None else ""
+        save_image(img, os.path.join(d, f"{name}{suffix}.png"))
+        if self._wandb is not None:
+            import wandb
+            self._wandb.log({name: wandb.Image(img)}, step=step)
+
     def info(self, msg: str):
         if self._console is not None:
             self._console.log(msg)

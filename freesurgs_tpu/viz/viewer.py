@@ -103,6 +103,19 @@ class GSViewer:
         client.scene.set_background_image(
             (np.transpose(img, (1, 2, 0)) * 255).astype(np.uint8))
 
+    def report(self, rays_per_sec: float | None = None,
+               frame: int | None = None):
+        """Training-loop heartbeat (reference reports rays/s to the viewer
+        each step, ``train.py:281-285``)."""
+        if self.paused:
+            return
+        bits = []
+        if frame is not None:
+            bits.append(f"frame {frame}")
+        if rays_per_sec is not None and rays_per_sec == rays_per_sec:
+            bits.append(f"{rays_per_sec / 1e6:.2f} Mrays/s")
+        self.status.value = " | ".join(bits) or "run"
+
     def wait_if_paused(self):
         import time
         while self.paused:

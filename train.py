@@ -50,17 +50,19 @@ def main(argv=None):
         global_chunk=cfg.run.global_chunk,
         init_mask_frac=cfg.model.init_mask_frac,
         capacity=cfg.model.capacity or None, seed=cfg.run.seed,
-        log_fn=logger.info, checkpoint_dir=cfg.run.model_path)
+        log_fn=logger.info, checkpoint_dir=cfg.run.model_path,
+        panel_fn=logger.log_image)
 
-    viewer = None
     if cfg.run.visualize:
         from freesurgs_tpu.viz.viewer import GSViewer
-        viewer = GSViewer.create(cfg.run.port, lambda: trainer.field,
-                                 lambda: trainer.poses.w2c(0), seq.cam,
-                                 impl=cfg.run.impl or None,
-                                 max_instances=cfg.run.max_instances)
+        viewer = GSViewer.create(
+            cfg.run.port, lambda: trainer.field,
+            lambda: trainer.poses.w2c(trainer.cur_frame), seq.cam,
+            impl=cfg.run.impl or None,
+            max_instances=cfg.run.max_instances)
         if viewer is None:
             logger.info("viser not installed; running headless")
+        trainer.viewer = viewer
 
     if cfg.run.start_checkpoint:
         trainer.restore(cfg.run.start_checkpoint)

@@ -103,29 +103,47 @@ def build_tile_bins(proj: ProjectedGaussians, grid_x: int, grid_y: int,
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     raw_start = jnp.searchsorted(tile_sorted, tile_ids,
                                  side="left").astype(jnp.int32)
-    raw_end = jnp.searchsorted(tile_sorted, tile_ids,
-                               side="right").astype(jnp.int32)
-    raw_count = raw_end - raw_start
 
-    # CHUNK-aligned repacking.
+    # Layout (per-tile counts -> CHUNK-aligned starts) derives from the
+    # UNTRUNCATED coverage — a 4-corner scatter + 2D summed-area cumsum,
+    # order-independent, so no slot expansion needed. This matches
+    # binning_fast (which gets the same totals from its prefix tables for
+    # free) and keeps the layout independent of the capacity m. Dropped
+    # instances are a per-tile depth-suffix (expansion is depth-ordered),
+    # so kept instances always occupy a prefix of their tile's run;
+    # positions of dropped ones keep the sentinel gather index n, which
+    # composites to nothing.
+    r0 = proj.tile_rect
+    sat = jnp.zeros((grid_y + 1, grid_x + 1), jnp.int32)
+    onec = jnp.ones((n,), jnp.int32)
+    sat = sat.at[r0[:, 1], r0[:, 0]].add(onec, mode="drop")
+    sat = sat.at[r0[:, 1], r0[:, 2]].add(-onec, mode="drop")
+    sat = sat.at[r0[:, 3], r0[:, 0]].add(-onec, mode="drop")
+    sat = sat.at[r0[:, 3], r0[:, 2]].add(onec, mode="drop")
+    sat = jnp.cumsum(jnp.cumsum(sat, axis=0), axis=1)
+    raw_count = sat[:grid_y, :grid_x].reshape(num_tiles)
+
     padded_count = -(-raw_count // CHUNK) * CHUNK
     padded_start = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(padded_count)[:-1]])
     # Clamp tiles that no longer fit after alignment padding.
     fit_count = jnp.clip(m - padded_start, 0, raw_count)
 
-    # Scatter each sorted raw instance to its aligned position.
+    # Scatter each sorted raw instance to its aligned position. The rank
+    # among expanded (<= m) instances equals the rank among the full
+    # coverage for every kept instance (see above), so the two layouts
+    # agree wherever an instance is actually placed.
     in_tile = tile_sorted < num_tiles
     key_safe = jnp.minimum(tile_sorted, num_tiles - 1)
     rank = jnp.arange(m, dtype=jnp.int32) - raw_start[key_safe]
     pos = padded_start[key_safe] + rank
-    keep = in_tile & (rank < fit_count[key_safe]) & (pos < m)
+    keep = in_tile & (pos < m)
     pos_safe = jnp.where(keep, pos, m)  # dropped -> scratch slot m
     gather_idx = jnp.full((m + 1,), n, jnp.int32)
     gather_idx = gather_idx.at[pos_safe].set(
         jnp.where(keep, g_orig, n))[:m]
 
-    kept_final = jnp.sum(fit_count).astype(jnp.int32)
+    kept_final = jnp.sum(keep).astype(jnp.int32)
     return TileBins(gather_idx=gather_idx,
                     tile_start=padded_start,
                     tile_count=fit_count,

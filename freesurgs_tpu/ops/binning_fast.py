@@ -22,24 +22,35 @@ is exactly
 
   position = aligned_tile_start[t] + P1 + P2 + P3.
 
-TPU cost model (measured, v5e): scatters and small cumsums are ~free;
-random ROW GATHERS cost ~15 ns/row regardless of row width. The layout is
-therefore engineered around exactly TWO M-row gathers:
+TPU cost model (measured, v5e — scripts/binning_micro.py and
+scripts/binning_exp.py): small cumsums and sub-M scatters are ~free, but
+EVERY M-sized random-access pass (row gather, element gather, scatter-set,
+scatter-add — sorted or not) costs the same ~14-18 ns/element latency
+floor, ~5.5-7 ms at M=393k. The design therefore minimizes the number of
+M-sized passes to four:
 
-  1. a per-Gaussian "megarecord" (depth-sorted) holding offsets, rect,
-     sub-block id, original index, the 32 byte-packed rects of the
-     Gaussian's own sub-block (for level 3), and the 10 f32 render fields;
-  2. one element gather from the combined table
-     COMB[b2, t] = aligned_start[t] + P1[b1(b2), t] + P2[b2, t].
+  1. the slot -> Gaussian map (scatter at exclusive offsets + cummax —
+     no searchsorted);
+  2. one gather of a per-Gaussian "megarecord" (depth-sorted) holding
+     offsets, rect, sub-block id, original index, and the 32 byte-packed
+     rects of the Gaussian's own sub-block (for level 3);
+  3. one element gather from the combined table
+     COMB[b2, t] = aligned_start[t] + P1[b1(b2), t] + P2[b2, t];
+  4. one scatter-set of the final gather_idx.
 
-The slot -> Gaussian expansion avoids searchsorted: scatter each Gaussian's
-depth-sorted index at its exclusive offset, then cummax fills the runs.
+Per-tile layout counts come from the (free) untruncated coverage totals
+already present in the prefix tables — NOT from a scatter-add over slot
+tile ids (measured 5.5 ms). Instance render fields are NOT carried here:
+one (M, 16) row gather by gather_idx (raster_pallas._build_feat, ~7 ms)
+beats 10 per-column scatter-sets (~21 ms).
 
 Layout equality with ``build_tile_bins`` is asserted in
 tests/test_binning_fast.py (including capacity-overflow cases).
 """
 
 from __future__ import annotations
+
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -49,7 +60,6 @@ from .projection import ProjectedGaussians
 
 S1 = 1024   # level-1 block of gaussians
 S2 = 32     # level-2 sub-block
-FEAT_DIM = 16
 
 
 def _sat_counts(rect, block_of_g, n_blocks, grid_x, grid_y):
@@ -66,12 +76,23 @@ def _sat_counts(rect, block_of_g, n_blocks, grid_x, grid_y):
     return bins[:, :grid_y, :grid_x]
 
 
-def bin_and_gather(proj: ProjectedGaussians, grid_x: int, grid_y: int,
-                   max_instances: int, fields: jnp.ndarray | None = None):
-    """Build tile bins; optionally also scatter per-instance ``fields``
-    ((N, 10) f32 rows [mx, my, A, B, C, opac, r, g, b, z]) into the
-    kernel's (FEAT_DIM, M) buffer. Returns (TileBins, feat | None).
-    """
+class BinAux(NamedTuple):
+    """Byproducts of the fast binner that make the BACKWARD gaussian-
+    gradient reduction sort- and scatter-free (raster_pallas uses them):
+    in pre-slot (depth-major expansion) order every gaussian's instances
+    are CONTIGUOUS, so a per-gaussian segment sum is one gather by ``pos``
+    followed by a cumsum and two N-row lookups at ``offsets`` — instead
+    of 10 M-sized scatter-adds (~21 ms at M=393k)."""
+    pos: jnp.ndarray       # (M,) pre-slot -> final layout position (m if
+                           #      dropped/invalid)
+    offsets: jnp.ndarray   # (N,) inclusive instance-count cumsum, sorted
+    order: jnp.ndarray     # (N,) depth rank -> original gaussian index
+
+
+def build_tile_bins_fast(proj: ProjectedGaussians, grid_x: int,
+                         grid_y: int, max_instances: int,
+                         return_aux: bool = False):
+    """Sort-free tile binning (layout-identical to ``build_tile_bins``)."""
     assert max_instances % CHUNK == 0
     n = proj.depth.shape[0]
     num_tiles = grid_x * grid_y
@@ -110,10 +131,7 @@ def bin_and_gather(proj: ProjectedGaussians, grid_x: int, grid_y: int,
     rec_cols = [offsets_excl[:, None], rect,
                 (g_ids // S2)[:, None], order[:, None].astype(jnp.int32),
                 (g_ids % S2)[:, None], sub_rows_per_g]
-    if fields is not None:
-        rec_cols.append(
-            jax.lax.bitcast_convert_type(fields[order], jnp.int32))
-    rec = jnp.concatenate(rec_cols, axis=1)         # (N, 8+S2[+10])
+    rec = jnp.concatenate(rec_cols, axis=1)         # (N, 8+S2)
     rec = jnp.concatenate(
         [rec, jnp.zeros((1, rec.shape[1]), jnp.int32)], axis=0)
 
@@ -142,9 +160,9 @@ def bin_and_gather(proj: ProjectedGaussians, grid_x: int, grid_y: int,
     tile_id = jnp.where(slot_valid, tile_y * grid_x + tile_x, num_tiles)
     tile_safe = jnp.minimum(tile_id, num_tiles - 1)
 
-    # per-tile kept counts -> aligned layout (scatter-add is cheap on TPU)
-    raw_count = jnp.zeros((num_tiles + 1,), jnp.int32).at[tile_id].add(
-        jnp.where(slot_valid, 1, 0), mode="drop")[:num_tiles]
+    # Per-tile layout counts: the untruncated coverage totals, free from
+    # the block prefix tables (an M-sized scatter-add here costs ~5.5 ms).
+    raw_count = P1[-1] + cov_block[-1]              # (T,)
     padded_count = -(-raw_count // CHUNK) * CHUNK
     padded_start = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(padded_count)[:-1]])
@@ -172,27 +190,11 @@ def bin_and_gather(proj: ProjectedGaussians, grid_x: int, grid_y: int,
     gather_idx = gather_idx.at[pos_safe].set(
         jnp.where(keep, orig_g, n), mode="drop")[:m]
 
-    kept_final = jnp.sum(fit_count).astype(jnp.int32)
+    kept_final = jnp.sum(keep).astype(jnp.int32)
     bins = TileBins(gather_idx=gather_idx, tile_start=padded_start,
                     tile_count=fit_count, num_instances=kept_final,
                     overflow=(total - kept_final).astype(jnp.int32))
-
-    feat = None
-    if fields is not None:
-        nf = fields.shape[1]
-        vals = jax.lax.bitcast_convert_type(rec_g[:, 8 + S2:], jnp.float32)
-        vals = jnp.where(keep[:, None], vals, 0.0)
-        # Column-wise 1-D scatters: a single windowed 2-D row scatter
-        # serializes in the TPU lowering (~2s for M=512k); per-column 1-D
-        # scatters are ~free.
-        rows = [jnp.zeros((m + 1,), jnp.float32)
-                .at[pos_safe].set(vals[:, k], mode="drop")[:m]
-                for k in range(nf)]
-        zeros = jnp.zeros((m,), jnp.float32)
-        feat = jnp.stack(rows + [zeros] * (FEAT_DIM - nf))  # (FEAT_DIM, M)
-    return bins, feat
-
-
-def build_tile_bins_fast(proj: ProjectedGaussians, grid_x: int,
-                         grid_y: int, max_instances: int) -> TileBins:
-    return bin_and_gather(proj, grid_x, grid_y, max_instances)[0]
+    if return_aux:
+        return bins, BinAux(pos=pos_safe, offsets=offsets,
+                            order=order.astype(jnp.int32))
+    return bins

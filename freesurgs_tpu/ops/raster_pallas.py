@@ -49,7 +49,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .binning import CHUNK, build_tile_bins, derive_bin_rect
-from .binning_fast import bin_and_gather
+from .binning_fast import BinAux, build_tile_bins_fast
 from .oracle import ALPHA_MAX, ALPHA_MIN, T_EPS
 from .projection import TILE, ProjectedGaussians
 
@@ -121,13 +121,40 @@ def _tile_pixels(t, grid_x, bin_tile):
             ix // TILE, iy // TILE)   # p16* stay int32 (rect compare)
 
 
-def _matmul(a, b, contract):
-    # HIGHEST: force true-f32 MXU passes. The default TPU matmul precision
+def _matmul(a, b, contract, precision=jax.lax.Precision.HIGHEST):
+    # HIGHEST (6 bf16 passes ~ true f32): the default TPU matmul precision
     # truncates operands to bf16, which is catastrophic for the
     # log-transmittance cumsums (values up to ~|log(1-0.99)| * chunk).
+    # Callers pass DEFAULT (1 pass) where both operands are exact in bf16
+    # (crossed @ tri: 0/1 values, integer sums <= CHUNK, exact in the f32
+    # accumulator). Mosaic supports only DEFAULT/HIGHEST, so the
+    # intermediate case lives in _cumsum_mm below.
     return jax.lax.dot_general(a, b, (contract, ((), ())),
-                               precision=jax.lax.Precision.HIGHEST,
+                               precision=precision,
                                preferred_element_type=jnp.float32)
+
+
+def _cumsum_mm(x, tri):
+    """Lane cumsum of f32 ``x`` via THREE bf16 MXU passes (vs HIGHEST's 6).
+
+    ``tri`` is a 0/1 mask — EXACT in bf16 — so the only error is the
+    split residual of ``x``: each bf16 term carries ~8 mantissa bits, so
+    hi+mid+lo reproduces x to ~2^-24 relative (true f32; a 2-term split
+    leaves ~2^-16 and measurably perturbs pose gradients). All passes
+    accumulate in f32 on the MXU.
+    """
+    hi = x.astype(jnp.bfloat16)
+    mid = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)
+          - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    trib = tri.astype(jnp.bfloat16)
+
+    def mm(a):
+        return jax.lax.dot_general(a, trib, ((((1,), (0,))), ((), ())),
+                                   precision=jax.lax.Precision.DEFAULT,
+                                   preferred_element_type=jnp.float32)
+
+    return mm(hi) + mm(mid) + mm(lo)
 
 
 def _chunk_alpha(f, pixx, pixy, p16x=None, p16y=None):
@@ -162,12 +189,13 @@ def _chunk_weights(abar, log_T, done, tri):
     abar: (npix, CHUNK); log_T, done: (npix, 1) carries.
     """
     log1m = jnp.log1p(-abar)
-    cum_incl = _matmul(log1m, tri, ((1,), (0,)))
+    cum_incl = _cumsum_mm(log1m, tri)
     cum_excl = cum_incl - log1m
     T_pre = jnp.exp(log_T + cum_excl)
     contributes = abar > 0
     crossed = contributes & (T_pre * (1.0 - abar) < T_EPS)
-    crossed_cum = _matmul(crossed.astype(jnp.float32), tri, ((1,), (0,)))
+    crossed_cum = _matmul(crossed.astype(jnp.float32), tri, ((1,), (0,)),
+                          precision=jax.lax.Precision.DEFAULT)
     valid = contributes & jnp.logical_not(done) & (crossed_cum < 0.5)
     w = jnp.where(valid, abar * T_pre, 0.0)
     new_log_T = log_T + jnp.sum(jnp.where(valid, log1m, 0.0), axis=1,
@@ -331,7 +359,7 @@ def _bwd_kernel(grid_x: int, bin_tile: int, starts_ref, counts_ref, feat_hbm,
         # cg[p, i] = sum_ch c_i_ch g_ch_p
         cg = _matmul(g8, cf8, ((1,), (0,)))             # (npix, CHUNK)
         wcg = w * cg
-        cum_wcg = _matmul(wcg, tri, ((1,), (0,)))
+        cum_wcg = _cumsum_mm(wcg, tri)
         gS = t0 - gcarry_s[:, :] - cum_wcg
         denom = 1.0 - abar
         dalpha = jnp.where(valid,
@@ -436,7 +464,13 @@ def _field_cols(mean2d, conic, rgbz, opacity, rect16, cfg: RasterConfig):
 
 
 def _build_feat(fields, bins):
-    """Gather per-instance field rows + tile meta (slow-binning path).
+    """Gather per-instance field rows + tile meta.
+
+    One (M, 16) row gather + transpose (~7 ms at M=393k) — measured
+    FASTER than scattering 10 field columns by instance position inside
+    the binner (~21 ms): every M-sized random-access pass costs the same
+    ~15 ns/element floor, so the winning layout is the one with the
+    fewest passes (scripts/binning_exp.py).
 
     The unwritten-slot story for backward: every slot in [0, M) belongs to
     exactly one tile's padded run (runs are CHUNK-aligned and consecutive),
@@ -472,27 +506,52 @@ def _make_composite(cfg: RasterConfig):
         projb = derive_bin_rect(proj, cfg.bin_scale)
         fields = _field_cols(mean2d, conic, rgbz, opacity, tile_rect, cfg)
         if cfg.fast_binning:
-            bins, feat = bin_and_gather(projb, cfg.grid_x, cfg.grid_y,
-                                        cfg.max_instances, fields)
-            meta = jnp.stack([bins.tile_start, bins.tile_count], axis=1)
+            bins, aux = build_tile_bins_fast(projb, cfg.grid_x, cfg.grid_y,
+                                             cfg.max_instances,
+                                             return_aux=True)
         else:
             bins = build_tile_bins(projb, cfg.grid_x, cfg.grid_y,
                                    cfg.max_instances)
-            feat, meta = _build_feat(fields, bins)
+            aux = None
+        feat, meta = _build_feat(fields, bins)
         out = _run_fwd(feat, meta, cfg)
-        res = (feat, meta, bins.gather_idx, out, mean2d.shape[0])
+        res = (feat, meta, bins.gather_idx, aux, out, mean2d.shape[0])
         return out, res
 
     def _composite_bwd(res, gout):
-        feat, meta, gather_idx, out_saved, n = res
+        feat, meta, gather_idx, aux, out_saved, n = res
         dfeat = _run_bwd(feat, meta, out_saved, gout, cfg)
-        # Column-wise 1-D segment sums: a single (M, 16) row-windowed
-        # scatter-add serializes in the TPU lowering (orders of magnitude
-        # slower); per-column scatter-adds are ~free. Rows 10+ carry no
-        # gradient (rect mask is a hard cutoff, like the CUDA binning).
-        cols = [jnp.zeros((n + 1,), jnp.float32).at[gather_idx]
-                .add(dfeat[k], mode="drop")[:n] for k in range(10)]
-        dsrc = jnp.stack(cols, axis=1)              # (n, 10)
+        m = cfg.max_instances
+        if aux is not None:
+            # Contiguous-run segment reduction (see BinAux): in pre-slot
+            # (depth-major expansion) order every gaussian's instances are
+            # contiguous, so the per-gaussian sum is ONE (M, 10) row
+            # gather by ``pos`` + a cumsum + two N-row prefix lookups —
+            # fewer M-sized random-access passes than 10 per-column
+            # scatter-adds (~21 ms at M=393k; each M-sized pass costs the
+            # same ~15 ns/element floor). Rows 10+ of dfeat carry no
+            # gradient (rect mask is a hard cutoff, like CUDA binning).
+            dpad = jnp.concatenate(
+                [dfeat[:10].T, jnp.zeros((1, 10), jnp.float32)], axis=0)
+            pre = dpad[aux.pos]                       # (M, 10) pre-slot
+            csum = jnp.concatenate(
+                [jnp.zeros((1, 10), jnp.float32),
+                 jnp.cumsum(pre, axis=0)], axis=0)    # (M+1, 10)
+            o1 = jnp.minimum(aux.offsets, m)
+            o0 = jnp.minimum(
+                jnp.concatenate([jnp.zeros(1, aux.offsets.dtype),
+                                 aux.offsets[:-1]]), m)
+            seg = csum[o1] - csum[o0]                 # (n, 10) depth order
+            inv = jnp.zeros((n,), jnp.int32).at[aux.order].set(
+                jnp.arange(n, dtype=jnp.int32))
+            dsrc = seg[inv]                           # (n, 10)
+        else:
+            # Column-wise 1-D segment sums: a single (M, 16) row-windowed
+            # scatter-add serializes in the TPU lowering (orders of
+            # magnitude slower); per-column scatter-adds are ~free.
+            cols = [jnp.zeros((n + 1,), jnp.float32).at[gather_idx]
+                    .add(dfeat[k], mode="drop")[:n] for k in range(10)]
+            dsrc = jnp.stack(cols, axis=1)            # (n, 10)
         f0 = jax.dtypes.float0
         zi = lambda x: np.zeros(x.shape, f0)  # noqa: E731
         return (dsrc[:, 0:2], dsrc[:, 2:5], dsrc[:, 6:10], dsrc[:, 5],

@@ -43,7 +43,7 @@ def main():
     from freesurgs_tpu.core.sh import sh_to_rgb_clamped
     from freesurgs_tpu.ops.projection import project_gaussians, TILE
     from freesurgs_tpu.ops.binning import derive_bin_rect
-    from freesurgs_tpu.ops.binning_fast import bin_and_gather
+    from freesurgs_tpu.ops.binning_fast import build_tile_bins_fast
     from freesurgs_tpu.ops.render import render
     from freesurgs_tpu.ops.raster_pallas import (
         RasterConfig, _run_fwd, _make_composite)
@@ -84,11 +84,11 @@ def main():
     def s_bins(m):
         p = derive_bin_rect(project_gaussians(m, scales, quats, cam),
                             cfg.bin_scale)
-        bins, _ = bin_and_gather(p, cfg.grid_x, cfg.grid_y, MAXI)
+        bins = build_tile_bins_fast(p, cfg.grid_x, cfg.grid_y, MAXI)
         return jnp.sum(bins.gather_idx).astype(jnp.float32)
 
-    # stage 3: projection + binning + fields scatter
-    from freesurgs_tpu.ops.raster_pallas import _field_cols
+    # stage 3: projection + binning + fields gather
+    from freesurgs_tpu.ops.raster_pallas import _build_feat, _field_cols
 
     def s_feat(m):
         p = project_gaussians(m, scales, quats, cam)
@@ -98,7 +98,8 @@ def main():
         rgbz = jnp.concatenate([rgb, p.depth[:, None]], 1)
         fields = _field_cols(p.mean2d, p.conic, rgbz, opac, p.tile_rect, cfg)
         pb = derive_bin_rect(p, cfg.bin_scale)
-        bins, feat = bin_and_gather(pb, cfg.grid_x, cfg.grid_y, MAXI, fields)
+        bins = build_tile_bins_fast(pb, cfg.grid_x, cfg.grid_y, MAXI)
+        feat, _ = _build_feat(fields, bins)
         return jnp.sum(feat)
 
     # stage 4: full forward

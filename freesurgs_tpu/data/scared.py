@@ -63,7 +63,35 @@ def _frame_key(path: str):
 
 
 def load_scared(root: str, frame_start: int = 0, frame_end: int = -1,
-                sample_rate: int = 8) -> VideoSequence:
+                sample_rate: int = 8,
+                cache: str | None = "auto") -> VideoSequence:
+    """Load a SCARED-layout sequence.
+
+    cache: "auto" (default) uses the native fsio mmap cache
+    (``io/native.py`` / ``cpp/fsio.cpp``) — the first load parses the raw
+    PNG/json/npz tree and writes ``<root>/.fsio_cache_*.fsc``; later loads
+    mmap it with background page prefetch (the multi-sequence streaming
+    path; the reference re-parses raw files every run,
+    ``scene/pose_optimizer.py:355-470``). ``None`` disables caching.
+    """
+    if cache == "auto":
+        from ..io import native
+        if native.available():
+            tag = f"{frame_start}_{frame_end}_{sample_rate}"
+            cpath = os.path.join(root, f".fsio_cache_{tag}.fsc")
+            if os.path.exists(cpath):
+                try:
+                    return native.read_sequence_cache(cpath)
+                except Exception:
+                    os.remove(cpath)  # stale/corrupt: rebuild below
+            seq = load_scared(root, frame_start, frame_end, sample_rate,
+                              cache=None)
+            try:
+                native.write_sequence_cache(cpath, seq)
+            except OSError:
+                pass  # read-only dataset dir: run uncached
+            return seq
+
     from PIL import Image
 
     rgb_paths = sorted(

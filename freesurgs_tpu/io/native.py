@@ -174,7 +174,14 @@ def ply_read(path: str):
 # ------------------------------------------------- sequence cache helpers
 
 def write_sequence_cache(path: str, seq):
-    """Pack a VideoSequence into the FSC1 cache format."""
+    """Pack a VideoSequence into the FSC1 cache format.
+
+    Per-frame entries (so a streaming reader can prefetch frame t+1 while
+    frame t uploads) plus the sequence metadata the SCARED loader needs to
+    reconstruct the full ``VideoSequence`` without touching the raw
+    PNG/json/npz tree again (``data/scared.py``; reference loads raw files
+    every run, ``scene/pose_optimizer.py:355-470``).
+    """
     w = CacheWriter(path)
     t = seq.colors.shape[0]
     for i in range(t):
@@ -183,5 +190,84 @@ def write_sequence_cache(path: str, seq):
         if i < t - 1:
             w.add(f"flowfw/{i:06d}", np.asarray(seq.flows_fw[i],
                                                 np.float32))
+            if getattr(seq, "flows_bw", None) is not None \
+                    and len(seq.flows_bw) > i:
+                w.add(f"flowbw/{i:06d}", np.asarray(seq.flows_bw[i],
+                                                    np.float32))
     w.add("meta/num_frames", np.asarray([t], np.int32))
+    if hasattr(seq, "cam"):
+        w.add("meta/intrinsic",
+              np.asarray(seq.cam.intrinsic_matrix(), np.float32))
+        w.add("meta/hw", np.asarray([seq.cam.height, seq.cam.width],
+                                    np.int32))
+    for attr in ("i_train", "i_test"):
+        if getattr(seq, attr, None) is not None:
+            w.add(f"meta/{attr}", np.asarray(getattr(seq, attr), np.int32))
+    if getattr(seq, "boundaries", None):
+        w.add("meta/boundaries", np.asarray(seq.boundaries, np.int32))
+    gt_poses = getattr(seq, "gt_poses", None) or {}
+    if gt_poses:
+        w.add("meta/gtpose_keys",
+              np.frombuffer("\n".join(gt_poses).encode(), np.uint8).copy())
+        for key, poses in gt_poses.items():
+            w.add(f"gtpose/{key}", np.asarray(poses, np.float32))
+    names = getattr(seq, "image_names", None)
+    if names:
+        w.add("meta/image_names",
+              np.frombuffer("\n".join(names).encode(), np.uint8).copy())
     w.close()
+
+
+def read_sequence_cache(path: str, prefetch_threads: int = 2):
+    """Load a full VideoSequence back from an FSC1 cache (mmap reads with
+    one-frame-ahead prefetch). Returns ``data/scared.VideoSequence``."""
+    from ..core.camera import Camera
+    from ..data.scared import VideoSequence
+
+    r = CacheReader(path, prefetch_threads)
+    try:
+        t = int(r.read("meta/num_frames")[0])
+        h, w_ = (int(x) for x in r.read("meta/hw"))
+        K = r.read("meta/intrinsic").astype(np.float64)
+
+        def read_stack(prefix, count):
+            out = []
+            for i in range(count):
+                if i + 1 < count:
+                    r.prefetch(f"{prefix}/{i + 1:06d}")
+                out.append(r.read(f"{prefix}/{i:06d}"))
+            return (np.stack(out) if out
+                    else np.zeros((0, 2, h, w_), np.float32))
+
+        colors = read_stack("color", t)
+        monodeps = read_stack("monodep", t)
+        flows_fw = read_stack("flowfw", t - 1)
+        try:
+            flows_bw = read_stack("flowbw", t - 1)
+        except KeyError:
+            flows_bw = -flows_fw
+        gt_poses = {}
+        boundaries = [0]
+        try:
+            boundaries = r.read("meta/boundaries").tolist()
+        except KeyError:
+            pass
+        try:
+            keys = r.read("meta/gtpose_keys").tobytes().decode().split("\n")
+        except KeyError:
+            keys = []
+        for key in keys:
+            gt_poses[key] = r.read(f"gtpose/{key}").astype(np.float64)
+        try:
+            names_raw = r.read("meta/image_names").tobytes().decode()
+            image_names = names_raw.split("\n")
+        except KeyError:
+            image_names = [f"frame_{i:06d}" for i in range(t)]
+        return VideoSequence(
+            cam=Camera.from_K(K, height=h, width=w_),
+            colors=colors, flows_fw=flows_fw, flows_bw=flows_bw,
+            monodeps=monodeps, gt_poses=gt_poses, boundaries=boundaries,
+            i_train=r.read("meta/i_train"), i_test=r.read("meta/i_test"),
+            image_names=image_names)
+    finally:
+        r.close()

@@ -62,6 +62,12 @@ class TrainConfig(NamedTuple):
     opacity_lr: float = 0.05
     scaling_lr: float = 5e-3
     rotation_lr: float = 1e-3
+    # keyframe policy for the second mapping view: "uniform" (random
+    # keyframe — the reference train.py:236-244 behavior) or "overlap"
+    # (viewpoint-overlap-weighted selection, the reference's
+    # defined-but-uncalled keyframe_selection_overlap,
+    # scene/pose_optimizer.py:534-577)
+    keyframe_policy: str = "uniform"
     # renderer
     max_instances: int = 0
     impl: str | None = None
@@ -220,8 +226,26 @@ def mapping_chunk(state: MappingState,
         probe0 = jnp.zeros((field.capacity, 2), jnp.float32)
 
         if two_views:
-            kf_pos = jax.random.randint(k_kf, (), 0,
-                                        jnp.maximum(n_keyframes, 1))
+            if cfg.keyframe_policy == "overlap":
+                # Viewpoint-overlap selection (pose_optimizer.py:534-577):
+                # back-project the current frame's depth prior, score each
+                # keyframe by reprojected visibility, pick randomly among
+                # positive-overlap candidates.
+                from .keyframes import keyframe_overlap_scores, \
+                    select_overlap_keyframes
+                cur_depth = jax.lax.dynamic_index_in_dim(
+                    monodeps_all, cur_t, 0, False)
+                scores = keyframe_overlap_scores(
+                    cur_depth, w2c_all[cur_t], w2c_all[keyframes], cam,
+                    k_kf)
+                n_kf = jnp.maximum(n_keyframes, 1)
+                scores = jnp.where(
+                    jnp.arange(scores.shape[0]) < n_kf, scores, 0.0)
+                key, k_sel = jax.random.split(key)
+                kf_pos = select_overlap_keyframes(scores, k_sel, 1)[0]
+            else:
+                kf_pos = jax.random.randint(k_kf, (), 0,
+                                            jnp.maximum(n_keyframes, 1))
             kf_t = keyframes[kf_pos]
 
             def total_loss(params, probe):

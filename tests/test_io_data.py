@@ -67,3 +67,39 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(np.asarray(restored["params"]["means"]),
                                np.asarray(f.means))
     assert np.asarray(restored["active"]).sum() == 20
+
+
+def test_scared_fsio_cache(tmp_path):
+    """cache="auto": first load builds the fsio mmap cache, second load
+    reads it back bit-identically (VideoSequence round-trip through the
+    native FSC1 format)."""
+    import glob
+    import os
+
+    from freesurgs_tpu.io import native
+
+    if not native.available():
+        import pytest
+        pytest.skip("no native toolchain")
+    scene = make_scene(num_frames=5, n_gaussians=80, height=24, width=32)
+    save_synthetic_as_scared(scene, str(tmp_path))
+    seq0 = load_scared(str(tmp_path), cache=None)
+    seq1 = load_scared(str(tmp_path))           # builds cache
+    caches = glob.glob(os.path.join(str(tmp_path), ".fsio_cache_*.fsc"))
+    assert len(caches) == 1
+    seq2 = load_scared(str(tmp_path))           # reads cache
+    for a, b in ((seq1, seq0), (seq2, seq0)):
+        np.testing.assert_array_equal(a.colors, b.colors)
+        np.testing.assert_array_equal(a.flows_fw, b.flows_fw)
+        np.testing.assert_array_equal(a.flows_bw, b.flows_bw)
+        np.testing.assert_array_equal(a.monodeps, b.monodeps)
+        np.testing.assert_array_equal(a.i_train, b.i_train)
+        np.testing.assert_array_equal(a.i_test, b.i_test)
+        assert a.boundaries == b.boundaries
+        assert a.image_names == b.image_names
+        assert set(a.gt_poses) == set(b.gt_poses)
+        for k in a.gt_poses:
+            np.testing.assert_allclose(a.gt_poses[k], b.gt_poses[k],
+                                       atol=1e-6)
+        np.testing.assert_allclose(a.cam.fx, b.cam.fx, rtol=1e-6)
+        assert (a.cam.height, a.cam.width) == (b.cam.height, b.cam.width)

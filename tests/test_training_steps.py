@@ -129,3 +129,30 @@ def test_mapping_two_views_and_densify_runs():
     # current frame's caches were updated
     assert float(jnp.abs(st2.pred_depths[2]).max()) > 0
     assert float(jnp.abs(st2.pred_depths[0]).max()) == 0
+
+
+def test_mapping_overlap_keyframe_policy():
+    """keyframe_policy="overlap" (reference keyframe_selection_overlap,
+    pose_optimizer.py:534-577) runs and trains like uniform selection."""
+    scene = make_scene(num_frames=4, n_gaussians=200, height=64, width=80)
+    field = field_from_scene(scene, perturb=0.02)
+    opt = adam_init(field.param_dict())
+    keyframes = jnp.asarray([0, 1, 2, 0], jnp.int32)
+    from freesurgs_tpu.train.steps import MappingState
+    T, H, W = 4, scene.cam.height, scene.cam.width
+    st = MappingState(field, opt, jnp.int32(0), jax.random.PRNGKey(1),
+                      jnp.zeros((T, H, W)), jnp.zeros((T, 3, H, W)))
+    results = {}
+    for policy in ("uniform", "overlap"):
+        cfg = TrainConfig(max_instances=8192, impl="pallas_interpret",
+                          keyframe_policy=policy)
+        mapping = make_jitted_mapping(scene.cam, cfg)
+        st2, aux = mapping(
+            st, scene.colors, scene.monodeps, scene.gt_w2c,
+            jnp.full((8,), 3, jnp.int32), keyframes, jnp.int32(3),
+            cam=scene.cam, cfg=cfg, two_views=True, sh_degree=0,
+            densify_enabled=False)
+        assert np.isfinite(float(aux["loss"])), policy
+        results[policy] = float(aux["loss"])
+    # both policies optimize the same objective on overlapping views
+    assert abs(results["uniform"] - results["overlap"]) < 10.0

@@ -153,21 +153,49 @@ def sharded_train_step(mesh: Mesh, params: dict, w2c, gt_image,
     return new_params, loss
 
 
+# N at which sharded projection pays off: below this, the per-gaussian
+# stage (~100 flops + SH eval) is cheaper than the all_gather of the
+# ~16-float compact records it saves (ICI latency dominated); above it,
+# projection+SH divide across the mesh. See BASELINE.md scaling notes.
+SHARD_PROJECTION_MIN_N = 1 << 18
+
+
+def _clip_to_band(b, band_h, grid_ty_band, mean2d, rect, touched, radius):
+    """Shift projected records into band ``b``'s local pixel/tile frame."""
+    y0 = (b * band_h).astype(jnp.float32)
+    mean2d = mean2d - jnp.stack([jnp.zeros_like(y0), y0])[None, :]
+    ty0 = jnp.clip(rect[:, 1] - b * grid_ty_band, 0, grid_ty_band)
+    ty1 = jnp.clip(rect[:, 3] - b * grid_ty_band, 0, grid_ty_band)
+    rect = jnp.stack([rect[:, 0], ty0, rect[:, 2], ty1], axis=1)
+    touched = ((rect[:, 2] - rect[:, 0]) * (ty1 - ty0)).astype(jnp.int32)
+    radius = jnp.where(touched > 0, radius, 0)
+    return mean2d, rect, touched, radius
+
+
 def render_sharded_full(mesh: Mesh, means3d, quats, log_scales,
                         logit_opacity, sh_coeffs, w2c, cam: Camera, *,
                         active=None, probe2d=None, sh_degree: int = 0,
                         impl: str = "oracle", max_instances: int = 4096,
                         bg=None, gs_grad: bool = True,
-                        cam_grad: bool = True):
+                        cam_grad: bool = True,
+                        shard_projection: bool | str = "auto"):
     """Band-sharded render with the full single-chip ``render()`` contract:
     probe2d view-space-gradient support, radii/visibility for densification
     statistics, per-band overflow accounting, gs/cam stop-grad switches.
 
-    The per-Gaussian stage (transform, EWA projection, SH) runs OUTSIDE the
-    shard_map (it is replicated either way); bands only clip + bin +
-    composite. Output rows beyond cam.height (band padding) are cropped.
+    The per-Gaussian stage (transform, EWA projection, SH): replicated per
+    device by default (its cost is two orders below compositing at 100k
+    gaussians), or — with ``shard_projection`` — sharded over N along the
+    tiles axis with an all_gather of the compact projected records
+    ((mean2d, conic, depth, radius, rect, touched, rgb, opacity) ~16 f32
+    per gaussian), so 1M+ gaussians don't replicate projection+SH work.
+    "auto" shards when N >= SHARD_PROJECTION_MIN_N and the mesh has >1
+    tile shard. Output rows beyond cam.height (band padding) are cropped.
     """
+    n = means3d.shape[0]
     n_shards = mesh.shape[TILE_AXIS]
+    if shard_projection == "auto":
+        shard_projection = n_shards > 1 and n >= SHARD_PROJECTION_MIN_N
     pcam = pad_height_for(cam, n_shards)
     band_h = pcam.height // n_shards
     grid_ty_band = band_h // TILE
@@ -181,28 +209,8 @@ def render_sharded_full(mesh: Mesh, means3d, quats, log_scales,
     gs = (lambda x: x) if gs_grad else jax.lax.stop_gradient
     cg = (lambda x: x) if cam_grad else jax.lax.stop_gradient
 
-    mean_cam = transform_points(cg(w2c), gs(means3d))
-    proj = project_gaussians(mean_cam, jnp.exp(gs(log_scales)),
-                             gs(quats), pcam, active=active)
-    mean2d = proj.mean2d if probe2d is None else proj.mean2d + probe2d
-    proj = proj._replace(mean2d=mean2d)
-    dirs = means3d / jnp.maximum(
-        jnp.linalg.norm(means3d, axis=-1, keepdims=True), 1e-8)
-    rgb = sh_to_rgb_clamped(sh_degree, gs(sh_coeffs), dirs)
-    opacity = jax.nn.sigmoid(gs(logit_opacity))
-    z = proj.depth
-
-    def band(mean2d, conic, depth, radius, rect, touched, rgb, opacity,
-             bg6):
-        b = jax.lax.axis_index(TILE_AXIS)
-        y0 = (b * band_h).astype(jnp.float32)
-        mean2d = mean2d - jnp.stack([jnp.zeros_like(y0), y0])[None, :]
-        ty0 = jnp.clip(rect[:, 1] - b * grid_ty_band, 0, grid_ty_band)
-        ty1 = jnp.clip(rect[:, 3] - b * grid_ty_band, 0, grid_ty_band)
-        rect = jnp.stack([rect[:, 0], ty0, rect[:, 2], ty1], axis=1)
-        touched = ((rect[:, 2] - rect[:, 0]) * (ty1 - ty0)).astype(
-            jnp.int32)
-        radius = jnp.where(touched > 0, radius, 0)
+    def composite_band(mean2d, conic, depth, radius, rect, touched, rgb,
+                       opacity, bg6):
         bproj = ProjectedGaussians(mean2d=mean2d, conic=conic, depth=depth,
                                    radius=radius, tile_rect=rect,
                                    tiles_touched=touched)
@@ -222,14 +230,84 @@ def render_sharded_full(mesh: Mesh, means3d, quats, log_scales,
         return image6, out["final_T"], out["overflow"][None]
 
     rep = P()
-    # check_vma=False: see render_sharded
-    image6, final_T, overflow = jax.shard_map(
-        band, mesh=mesh, in_specs=(rep,) * 9,
-        out_specs=(P(None, TILE_AXIS, None), P(TILE_AXIS, None),
-                   P(TILE_AXIS)),
-        check_vma=False,
-    )(proj.mean2d, proj.conic, proj.depth, proj.radius, proj.tile_rect,
-      proj.tiles_touched, rgb, opacity, bg6)
+    out_specs = (P(None, TILE_AXIS, None), P(TILE_AXIS, None), P(TILE_AXIS))
+
+    if shard_projection:
+        # ---- per-gaussian stage sharded over N along the tiles axis
+        chunk = -(-n // n_shards)
+        npad = chunk * n_shards - n
+
+        def padn(x):
+            if not npad:
+                return x
+            return jnp.pad(x, [(0, npad)] + [(0, 0)] * (x.ndim - 1))
+
+        def band_sp(m3, qt, ls, lo, shc, act, pr, w2c, bg6):
+            b = jax.lax.axis_index(TILE_AXIS)
+
+            def sl(x):
+                return jax.lax.dynamic_slice_in_dim(x, b * chunk, chunk)
+
+            m3c = sl(m3)
+            mean_cam = transform_points(w2c, m3c)
+            projc = project_gaussians(mean_cam, jnp.exp(sl(ls)), sl(qt),
+                                      pcam, active=sl(act))
+            mean2d = projc.mean2d + sl(pr)
+            dirs = m3c / jnp.maximum(
+                jnp.linalg.norm(m3c, axis=-1, keepdims=True), 1e-8)
+            rgbc = sh_to_rgb_clamped(sh_degree, sl(shc), dirs)
+            opacc = jax.nn.sigmoid(sl(lo))
+            rec = (mean2d, projc.conic, projc.depth, projc.radius,
+                   projc.tile_rect, projc.tiles_touched, rgbc, opacc)
+            # one compact all-gather replaces replicated projection
+            mean2d, conic, depth, radius, rect, touched, rgb, opacity = (
+                jax.lax.all_gather(r, TILE_AXIS, axis=0, tiled=True)
+                for r in rec)
+            full_radius = radius
+            mean2d, rect, touched, radius = _clip_to_band(
+                b, band_h, grid_ty_band, mean2d, rect, touched, radius)
+            img, fT, ovf = composite_band(mean2d, conic, depth, radius,
+                                          rect, touched, rgb, opacity,
+                                          bg6)
+            return img, fT, ovf, full_radius
+
+        pr_in = (padn(probe2d) if probe2d is not None
+                 else jnp.zeros((chunk * n_shards, 2), jnp.float32))
+        # check_vma=False: see render_sharded
+        image6, final_T, overflow, radius_full = jax.shard_map(
+            band_sp, mesh=mesh, in_specs=(rep,) * 9,
+            out_specs=out_specs + (rep,), check_vma=False,
+        )(padn(gs(means3d)), padn(gs(quats)), padn(gs(log_scales)),
+          padn(gs(logit_opacity)), padn(gs(sh_coeffs)),
+          padn(active) if npad else active, pr_in, cg(w2c), bg6)
+        radii = radius_full[:n]
+    else:
+        mean_cam = transform_points(cg(w2c), gs(means3d))
+        proj = project_gaussians(mean_cam, jnp.exp(gs(log_scales)),
+                                 gs(quats), pcam, active=active)
+        mean2d = (proj.mean2d if probe2d is None
+                  else proj.mean2d + probe2d)
+        proj = proj._replace(mean2d=mean2d)
+        dirs = means3d / jnp.maximum(
+            jnp.linalg.norm(means3d, axis=-1, keepdims=True), 1e-8)
+        rgb = sh_to_rgb_clamped(sh_degree, gs(sh_coeffs), dirs)
+        opacity = jax.nn.sigmoid(gs(logit_opacity))
+
+        def band(mean2d, conic, depth, radius, rect, touched, rgb,
+                 opacity, bg6):
+            b = jax.lax.axis_index(TILE_AXIS)
+            mean2d, rect, touched, radius = _clip_to_band(
+                b, band_h, grid_ty_band, mean2d, rect, touched, radius)
+            return composite_band(mean2d, conic, depth, radius, rect,
+                                  touched, rgb, opacity, bg6)
+
+        # check_vma=False: see render_sharded
+        image6, final_T, overflow = jax.shard_map(
+            band, mesh=mesh, in_specs=(rep,) * 9,
+            out_specs=out_specs, check_vma=False,
+        )(proj.mean2d, proj.conic, proj.depth, proj.radius, proj.tile_rect,
+          proj.tiles_touched, rgb, opacity, bg6)
+        radii = proj.radius
 
     h = cam.height
     image6 = image6[:, :h]
@@ -244,7 +322,7 @@ def render_sharded_full(mesh: Mesh, means3d, quats, log_scales,
         "uncertainty": uncertainty,
         "final_T": final_T[:h],
         "render_w2c": cg(w2c),
-        "radii": proj.radius,
-        "visibility": proj.radius > 0,
+        "radii": radii,
+        "visibility": radii > 0,
         "overflow": jnp.sum(overflow),
     }

@@ -190,3 +190,66 @@ def test_mapping_chunk_with_mesh_matches_single(rng):
                                np.asarray(b.field.grad_denom), atol=0)
     np.testing.assert_allclose(np.asarray(a.field.logit_opacity),
                                np.asarray(b.field.logit_opacity), atol=2e-4)
+
+
+def test_sharded_projection_matches(rng):
+    """shard_projection=True (N-sharded per-gaussian stage + all_gather of
+    compact projected records) == replicated projection == single-chip,
+    including radii, probe gradients, and parameter gradients."""
+    from freesurgs_tpu.parallel.sharded import render_sharded_full
+
+    n = 90  # deliberately not divisible by n_shards (pad path)
+    p = scene(rng, n)
+    mesh = make_mesh(4)
+    probe = jnp.zeros((n, 2))
+
+    def go(shard_projection, sh_degree=0):
+        return render_sharded_full(
+            mesh, p["means"], p["quats"], p["log_scales"],
+            p["logit_opacity"], p["sh"], jnp.eye(4), CAM, probe2d=probe,
+            impl="oracle", sh_degree=sh_degree,
+            shard_projection=shard_projection)
+
+    out_r = go(False)
+    out_s = go(True)
+    np.testing.assert_allclose(np.asarray(out_s["render"]),
+                               np.asarray(out_r["render"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_s["render_dep"]),
+                               np.asarray(out_r["render_dep"]), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(out_s["radii"]),
+                                  np.asarray(out_r["radii"]))
+
+    def loss(params, pr, sp):
+        o = render_sharded_full(
+            mesh, params["means"], params["quats"], params["log_scales"],
+            params["logit_opacity"], params["sh"], jnp.eye(4), CAM,
+            probe2d=pr, impl="oracle", shard_projection=sp)
+        return jnp.mean(o["render"] ** 2)
+
+    (gp_r, gpr_r) = jax.grad(loss, argnums=(0, 1))(p, probe, False)
+    (gp_s, gpr_s) = jax.grad(loss, argnums=(0, 1))(p, probe, True)
+    for k in p:
+        a, b = np.asarray(gp_s[k]), np.asarray(gp_r[k])
+        scale = max(np.abs(b).max(), 1e-8)
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-4,
+                                   err_msg=f"param grad mismatch {k}")
+    scale = max(np.abs(np.asarray(gpr_r)).max(), 1e-8)
+    np.testing.assert_allclose(np.asarray(gpr_s) / scale,
+                               np.asarray(gpr_r) / scale, atol=2e-4)
+
+
+def test_sharded_projection_pallas_interpret(rng):
+    """Sharded projection also composes with the Pallas kernel path."""
+    from freesurgs_tpu.parallel.sharded import render_sharded_full
+
+    p = scene(rng, 80)
+    mesh = make_mesh(2)
+    a = render_sharded_full(mesh, p["means"], p["quats"], p["log_scales"],
+                            p["logit_opacity"], p["sh"], jnp.eye(4), CAM,
+                            impl="oracle", shard_projection=True)
+    b = render_sharded_full(mesh, p["means"], p["quats"], p["log_scales"],
+                            p["logit_opacity"], p["sh"], jnp.eye(4), CAM,
+                            impl="pallas_interpret", max_instances=2048,
+                            shard_projection=True)
+    np.testing.assert_allclose(np.asarray(a["render"]),
+                               np.asarray(b["render"]), atol=2e-5)

@@ -70,7 +70,9 @@ def flow_from_depth(depth_t, w2c_t, w2c_t1, cam: Camera):
 
 def make_scene(num_frames: int = 8, n_gaussians: int = 600,
                height: int = 64, width: int = 80, seed: int = 0,
-               impl: str = "oracle") -> SyntheticScene:
+               impl: str = "oracle",
+               scale_range: tuple = (0.02, 0.06),
+               max_instances: int = 0) -> SyntheticScene:
     rng = np.random.default_rng(seed)
     cam = Camera(height=height, width=width, fx=width * 1.1,
                  fy=width * 1.1, cx=width / 2, cy=height / 2)
@@ -79,7 +81,8 @@ def make_scene(num_frames: int = 8, n_gaussians: int = 600,
         rng.uniform(-0.8, 0.8, n), rng.uniform(-0.6, 0.6, n),
         rng.uniform(1.0, 2.5, n)], -1).astype(np.float32)
     quats = rng.normal(size=(n, 4)).astype(np.float32)
-    log_scales = np.log(rng.uniform(0.02, 0.06, (n, 3))).astype(np.float32)
+    log_scales = np.log(rng.uniform(*scale_range,
+                                    (n, 3))).astype(np.float32)
     logit_op = rng.uniform(1.0, 4.0, n).astype(np.float32)
     from ..core.sh import rgb2sh
     sh = np.asarray(rgb2sh(jnp.asarray(
@@ -93,7 +96,12 @@ def make_scene(num_frames: int = 8, n_gaussians: int = 600,
 
     colors, depths = [], []
     for t in range(num_frames):
-        out = render(*args, gt_w2c[t], cam, impl=impl)
+        out = render(*args, gt_w2c[t], cam, impl=impl,
+                     max_instances=max_instances)
+        if t == 0 and "overflow" in out:
+            assert int(out["overflow"]) == 0, (
+                f"instance overflow {int(out['overflow'])}: raise "
+                "max_instances or shrink scale_range")
         colors.append(jnp.clip(out["render"], 0.0, 1.0))
         depths.append(out["render_dep"])
     colors = jnp.stack(colors)

@@ -42,7 +42,9 @@ def main():
     # overflow (asserted below) — and the binning stage's scatter/gather
     # phases scale with MAXI, so right-sizing it is itself a speedup.
     if on_tpu:
-        H, W, N, MAXI, iters, sh_deg, sh_k = 1024, 1280, 100_000,             393_216, 5, 3, 16
+        # MAXI: exact padded requirement with snug rects is 318080
+        # (scripts/snug_probe.py); +1 chunk of headroom.
+        H, W, N, MAXI, iters, sh_deg, sh_k = 1024, 1280, 100_000,             318_208, 5, 3, 16
     else:
         H, W, N, MAXI, iters, sh_deg, sh_k = 64, 64, 2_000, 8_192, 2, 0, 1
 

@@ -218,7 +218,7 @@ def _chunk_channels(f):
 # ---------------------------------------------------------------- forward
 
 def _fwd_kernel(grid_x: int, bin_tile: int, starts_ref, counts_ref, feat_hbm,
-                out_ref, buf, sems, acc_s, logT_s, done_s):
+                out_ref, keff_ref, buf, sems, acc_s, logT_s, done_s):
     npix = bin_tile * bin_tile
     masked = bin_tile > TILE
     t = pl.program_id(0)
@@ -236,6 +236,14 @@ def _fwd_kernel(grid_x: int, bin_tile: int, starts_ref, counts_ref, feat_hbm,
     acc_s[:, :] = jnp.zeros((npix, N_OUT), jnp.float32)
     logT_s[:, :] = jnp.zeros((npix, 1), jnp.float32)
     done_s[:, :] = jnp.zeros((npix, 1), jnp.float32)
+    # Early-termination watermark (CUDA parity: a per-tile loop break once
+    # every pixel crossed the T_EPS transmittance cutoff — exact, since
+    # later instances have valid == False, contributing zero value and
+    # zero gradient). 0 means "still compositing"; fixed up after the loop.
+    # The output is one whole-array SMEM block (constant index map): Mosaic
+    # requires rank-1 blocks to cover the array, and the sequential TPU
+    # grid makes per-program element writes race-free.
+    keff_ref[t] = 0
 
     def get_dma(slot, k):
         off = pl.multiple_of(start + k * CHUNK, CHUNK)
@@ -255,17 +263,31 @@ def _fwd_kernel(grid_x: int, bin_tile: int, starts_ref, counts_ref, feat_hbm,
             get_dma((k + 1) % 2, k + 1).start()
 
         get_dma(slot, k).wait()
-        f = buf[slot]
-        abar, _, _, _, _, _ = _chunk_alpha(f, pixx, pixy, p16x, p16y)
-        w, _, _, _, log_T, done = _chunk_weights(
-            abar, logT_s[:, :], done_s[:, :] > 0.0, tri)
-        cf8 = _chunk_channels(f)                       # (N_OUT, CHUNK)
-        acc_s[:, :] += _matmul(w, cf8, ((1,), (1,)))   # (npix, N_OUT)
-        logT_s[:, :] = log_T
-        done_s[:, :] = done.astype(jnp.float32)
+
+        @pl.when(keff_ref[t] == 0)
+        def _():
+            f = buf[slot]
+            abar, _, _, _, _, _ = _chunk_alpha(f, pixx, pixy, p16x, p16y)
+            w, _, _, _, log_T, done = _chunk_weights(
+                abar, logT_s[:, :], done_s[:, :] > 0.0, tri)
+            cf8 = _chunk_channels(f)                      # (N_OUT, CHUNK)
+            acc_s[:, :] += _matmul(w, cf8, ((1,), (1,)))  # (npix, N_OUT)
+            logT_s[:, :] = log_T
+            done_f = done.astype(jnp.float32)
+            done_s[:, :] = done_f
+
+            @pl.when(jnp.sum(done_f) >= float(npix))
+            def _():
+                keff_ref[t] = k + 1
+
         return 0
 
     jax.lax.fori_loop(0, n_chunks, body, 0)
+
+    @pl.when(keff_ref[t] == 0)
+    def _():
+        keff_ref[t] = n_chunks
+
     out_ref[0, :, 0:6] = acc_s[:, 0:6]
     out_ref[0, :, 6:7] = jnp.exp(logT_s[:, :])
     out_ref[0, :, 7:8] = jnp.zeros((npix, 1), jnp.float32)
@@ -277,9 +299,13 @@ def _run_fwd(feat, meta, cfg: RasterConfig):
         num_scalar_prefetch=2,
         grid=(cfg.num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((1, npix, N_OUT),
-                               lambda t, starts, counts: (t, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=[
+            pl.BlockSpec((1, npix, N_OUT),
+                         lambda t, starts, counts: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cfg.num_tiles,), lambda t, starts, counts: (0,),
+                         memory_space=pltpu.SMEM),
+        ],
         scratch_shapes=[
             pltpu.VMEM((2, FEAT_DIM, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -290,8 +316,10 @@ def _run_fwd(feat, meta, cfg: RasterConfig):
     )
     return pl.pallas_call(
         functools.partial(_fwd_kernel, cfg.grid_x, cfg.bin_tile),
-        out_shape=jax.ShapeDtypeStruct((cfg.num_tiles, npix, N_OUT),
-                                       jnp.float32),
+        out_shape=[
+            jax.ShapeDtypeStruct((cfg.num_tiles, npix, N_OUT), jnp.float32),
+            jax.ShapeDtypeStruct((cfg.num_tiles,), jnp.int32),
+        ],
         grid_spec=grid_spec,
         interpret=cfg.interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT),
@@ -300,15 +328,16 @@ def _run_fwd(feat, meta, cfg: RasterConfig):
 
 # --------------------------------------------------------------- backward
 
-def _bwd_kernel(grid_x: int, bin_tile: int, starts_ref, counts_ref, feat_hbm,
-                out_saved_ref, gout_ref, dfeat_hbm, buf, dbuf, sems, wsems,
-                logT_s, done_s, gcarry_s):
+def _bwd_kernel(grid_x: int, bin_tile: int, starts_ref, counts_ref, keff_ref,
+                feat_hbm, out_saved_ref, gout_ref, dfeat_hbm, buf, dbuf,
+                sems, wsems, logT_s, done_s, gcarry_s):
     npix = bin_tile * bin_tile
     masked = bin_tile > TILE
     t = pl.program_id(0)
     start = starts_ref[t]
     count = counts_ref[t]
     n_chunks = pl.cdiv(count, CHUNK)
+    keff = keff_ref[t]   # chunks the forward composited (early termination)
     pixx, pixy, p16x, p16y = _tile_pixels(t, grid_x, bin_tile)
     if not masked:
         p16x = p16y = None
@@ -333,7 +362,7 @@ def _bwd_kernel(grid_x: int, bin_tile: int, starts_ref, counts_ref, feat_hbm,
             dbuf.at[slot], dfeat_hbm.at[:, pl.ds(off, CHUNK)],
             wsems.at[slot])
 
-    @pl.when(n_chunks > 0)
+    @pl.when(keff > 0)
     def _():
         get_dma(0, 0).start()
 
@@ -344,50 +373,9 @@ def _bwd_kernel(grid_x: int, bin_tile: int, starts_ref, counts_ref, feat_hbm,
     def body(k, _):
         slot = k % 2
 
-        @pl.when(k + 1 < n_chunks)
+        @pl.when(k + 1 < keff)
         def _():
             get_dma((k + 1) % 2, k + 1).start()
-
-        get_dma(slot, k).wait()
-        f = buf[slot]
-        abar, raw, expp, dx, dy, _ = _chunk_alpha(f, pixx, pixy, p16x, p16y)
-        w, T_pre, valid, abar, log_T, done = _chunk_weights(
-            abar, logT_s[:, :], done_s[:, :] > 0.0, tri)
-        logT_s[:, :] = log_T
-        done_s[:, :] = done.astype(jnp.float32)
-        cf8 = _chunk_channels(f)                        # (N_OUT, CHUNK)
-        # cg[p, i] = sum_ch c_i_ch g_ch_p
-        cg = _matmul(g8, cf8, ((1,), (0,)))             # (npix, CHUNK)
-        wcg = w * cg
-        cum_wcg = _cumsum_mm(wcg, tri)
-        gS = t0 - gcarry_s[:, :] - cum_wcg
-        denom = 1.0 - abar
-        dalpha = jnp.where(valid,
-                           cg * T_pre - (gS + g_T * T_fin) / denom, 0.0)
-        opac = f[5:6, :]
-        clamp_ok = (raw < ALPHA_MAX).astype(jnp.float32)
-        dG = dalpha * opac * clamp_ok
-        dpow = dG * expp
-        ca, cb, cc = f[2:3, :], f[3:4, :], f[4:5, :]
-
-        def psum(x):  # reduce over pixels -> (1, CHUNK)
-            return jnp.sum(x, axis=0, keepdims=True)
-
-        dmx = psum(dpow * (-ca * dx - cb * dy))
-        dmy = psum(dpow * (-cc * dy - cb * dx))
-        dA = psum(dpow * (-0.5 * dx * dx))
-        dB = psum(dpow * (-dx * dy))
-        dC = psum(dpow * (-0.5 * dy * dy))
-        dop = psum(dalpha * expp * clamp_ok)
-        dr = psum(w * g8[:, 0:1])
-        dg = psum(w * g8[:, 1:2])
-        db = psum(w * g8[:, 2:3])
-        z = f[9:10, :]
-        dz = psum(w * (g8[:, 3:4] + g8[:, 5:6] * (2.0 * z)))
-        zero = jnp.zeros_like(dmx)
-        dout = jnp.concatenate(
-            [dmx, dmy, dA, dB, dC, dop, dr, dg, db, dz,
-             zero, zero, zero, zero, zero, zero], axis=0)  # (FEAT_DIM, CHUNK)
 
         # Double-buffered store: wait only for the write issued two
         # iterations ago from this slot, so the DMA overlaps the next
@@ -396,10 +384,78 @@ def _bwd_kernel(grid_x: int, bin_tile: int, starts_ref, counts_ref, feat_hbm,
         def _():
             put_dma(slot, k - 2).wait()
 
-        dbuf[slot] = dout
-        put_dma(slot, k).start()
+        @pl.when(k < keff)
+        def _():
+            get_dma(slot, k).wait()
+            f = buf[slot]
+            abar, raw, expp, dx, dy, _ = _chunk_alpha(f, pixx, pixy,
+                                                      p16x, p16y)
+            w, T_pre, valid, abar, log_T, done = _chunk_weights(
+                abar, logT_s[:, :], done_s[:, :] > 0.0, tri)
+            logT_s[:, :] = log_T
+            done_s[:, :] = done.astype(jnp.float32)
+            cf8 = _chunk_channels(f)                        # (N_OUT, CHUNK)
+            # cg[p, i] = sum_ch c_i_ch g_ch_p
+            cg = _matmul(g8, cf8, ((1,), (0,)))             # (npix, CHUNK)
+            wcg = w * cg
+            cum_wcg = _cumsum_mm(wcg, tri)
+            gS = t0 - gcarry_s[:, :] - cum_wcg
+            denom = 1.0 - abar
+            dalpha = jnp.where(valid,
+                               cg * T_pre - (gS + g_T * T_fin) / denom, 0.0)
+            opac = f[5:6, :]
+            clamp_ok = (raw < ALPHA_MAX).astype(jnp.float32)
+            dG = dalpha * opac * clamp_ok
+            dpow = dG * expp
+            ca, cb, cc = f[2:3, :], f[3:4, :], f[4:5, :]
 
-        gcarry_s[:, :] += jnp.sum(wcg, axis=1, keepdims=True)
+            def psum(x):  # reduce over pixels -> (1, CHUNK)
+                return jnp.sum(x, axis=0, keepdims=True)
+
+            # Moment restructure: psum(dpow * poly(dx, dy)) terms expand
+            # into per-instance (lane) combinations of SIX shared moments,
+            # trading ~15 full-size (npix, CHUNK) VPU products for (1,
+            # CHUNK) lane arithmetic. Same f32 math, modest reassociation
+            # (sum-then-scale instead of scale-then-sum).
+            pdx = dpow * dx
+            pdy = dpow * dy
+            m1 = psum(dpow)
+            r1 = psum(pdx)
+            r2 = psum(pdy)
+            ra = psum(pdx * dx)
+            rb = psum(pdx * dy)
+            rc = psum(pdy * dy)
+            dmx = -(ca * r1 + cb * r2)
+            dmy = -(cc * r2 + cb * r1)
+            dA = -0.5 * ra
+            dB = -rb
+            dC = -0.5 * rc
+            # dpow == (dalpha * expp * clamp_ok) * opac, with opac constant
+            # per instance, so dop = m1 / opac (0 where opac == 0: padding
+            # slots have dpow identically 0).
+            dop = jnp.where(opac > 0.0, m1 / jnp.maximum(opac, 1e-30), 0.0)
+            dr = psum(w * g8[:, 0:1])
+            dg = psum(w * g8[:, 1:2])
+            db = psum(w * g8[:, 2:3])
+            z = f[9:10, :]
+            dz = psum(w * g8[:, 3:4]) + (2.0 * z) * psum(w * g8[:, 5:6])
+            zero = jnp.zeros_like(dmx)
+            dout = jnp.concatenate(
+                [dmx, dmy, dA, dB, dC, dop, dr, dg, db, dz,
+                 zero, zero, zero, zero, zero, zero],
+                axis=0)  # (FEAT_DIM, CHUNK)
+            dbuf[slot] = dout
+            gcarry_s[:, :] += jnp.sum(wcg, axis=1, keepdims=True)
+
+        # Chunks the forward never composited (all pixels crossed the
+        # transmittance cutoff): every gradient is exactly zero, but the
+        # slots are real instances, so zeros must be WRITTEN (the HBM
+        # buffer is uninitialized).
+        @pl.when(k >= keff)
+        def _():
+            dbuf[slot] = jnp.zeros((FEAT_DIM, CHUNK), jnp.float32)
+
+        put_dma(slot, k).start()
         return 0
 
     jax.lax.fori_loop(0, n_chunks, body, 0)
@@ -414,18 +470,18 @@ def _bwd_kernel(grid_x: int, bin_tile: int, starts_ref, counts_ref, feat_hbm,
         put_dma((n_chunks - 1) % 2, n_chunks - 1).wait()
 
 
-def _run_bwd(feat, meta, out_saved, gout, cfg: RasterConfig):
+def _run_bwd(feat, meta, keff, out_saved, gout, cfg: RasterConfig):
     npix = cfg.npix
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(cfg.num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, npix, N_OUT),
-                         lambda t, starts, counts: (t, 0, 0),
+                         lambda t, starts, counts, keff: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, npix, N_OUT),
-                         lambda t, starts, counts: (t, 0, 0),
+                         lambda t, starts, counts, keff: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -446,7 +502,7 @@ def _run_bwd(feat, meta, out_saved, gout, cfg: RasterConfig):
         interpret=cfg.interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True,
                                              vmem_limit_bytes=VMEM_LIMIT),
-    )(meta[:, 0], meta[:, 1], feat, out_saved, gout)
+    )(meta[:, 0], meta[:, 1], keff, feat, out_saved, gout)
 
 
 # ----------------------------------------------------- custom_vjp wrapper
@@ -514,13 +570,13 @@ def _make_composite(cfg: RasterConfig):
                                    cfg.max_instances)
             aux = None
         feat, meta = _build_feat(fields, bins)
-        out = _run_fwd(feat, meta, cfg)
-        res = (feat, meta, bins.gather_idx, aux, out, mean2d.shape[0])
+        out, keff = _run_fwd(feat, meta, cfg)
+        res = (feat, meta, keff, bins.gather_idx, aux, out, mean2d.shape[0])
         return out, res
 
     def _composite_bwd(res, gout):
-        feat, meta, gather_idx, aux, out_saved, n = res
-        dfeat = _run_bwd(feat, meta, out_saved, gout, cfg)
+        feat, meta, keff, gather_idx, aux, out_saved, n = res
+        dfeat = _run_bwd(feat, meta, keff, out_saved, gout, cfg)
         m = cfg.max_instances
         if aux is not None:
             # Contiguous-run segment reduction (see BinAux): in pre-slot
@@ -564,6 +620,55 @@ def _make_composite(cfg: RasterConfig):
     return composite
 
 
+def snug_tile_rect(proj: ProjectedGaussians, opacity: jnp.ndarray
+                   ) -> ProjectedGaussians:
+    """Shrink tile rects to the bounding box of {alpha >= 1/255} — exact.
+
+    The CUDA binner uses the axis-aligned box of the circumscribed
+    3*sqrt(lambda_max) circle (``projection.py``); but a pixel only ever
+    composites when ``alpha = opac * exp(-Q/2) >= ALPHA_MIN``, i.e. inside
+    the ellipse ``Q <= 2t`` with ``t = log(255 * opac)``. The tight
+    axis-aligned bounds of that ellipse follow from the conic (A, B, C)
+    directly: ``|dx| <= sqrt(2t * C / (AC - B^2)) = sqrt(2t * cov_xx)`` and
+    symmetrically for dy. Intersecting the CUDA rect with this box removes
+    ONLY pixels that fail the in-kernel alpha cutoff (a hard flat region:
+    zero output contribution AND zero gradient), so the rendered image and
+    every cotangent are bit-identical while the duplicated instance count M
+    — which every binning pass, the field gather, and both kernel sweeps
+    scale with — drops ~2-3x (opacity-dependent + anisotropy-aware vs the
+    isotropic circle). The caller-visible ``radius`` (densify/visibility
+    statistics, reference semantics) is untouched.
+
+    Float safety: the half-widths are padded +0.5 px, dwarfing f32 rounding
+    of the bound (~1e-4 px), so no pixel with f32-alpha >= ALPHA_MIN can
+    fall outside the box.
+    """
+    A, B, C = proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2]
+    det = jnp.maximum(A * C - B * B, 1e-24)
+    t2 = 2.0 * jnp.log(jnp.maximum(255.0 * opacity, 1.0))
+    rx = jnp.sqrt(t2 * C / det) + 0.5
+    ry = jnp.sqrt(t2 * A / det) + 0.5
+    px, py = proj.mean2d[:, 0], proj.mean2d[:, 1]
+    r = proj.tile_rect
+    # CONTAINING tile bounds (unlike CUDA getRect's `(p+r+T-1)/T` trunc,
+    # which drops the boundary tile when p+r lands on its first pixel —
+    # fine as a parity contract for the 3-sigma circle, wrong for a box
+    # that must cover every alpha-passing pixel), then intersect (clipping
+    # to the grid is inherited from the existing rect).
+    tx0 = jnp.maximum(r[:, 0], ((px - rx) / TILE).astype(jnp.int32))
+    ty0 = jnp.maximum(r[:, 1], ((py - ry) / TILE).astype(jnp.int32))
+    tx1 = jnp.minimum(r[:, 2], ((px + rx) / TILE).astype(jnp.int32) + 1)
+    ty1 = jnp.minimum(r[:, 3], ((py + ry) / TILE).astype(jnp.int32) + 1)
+    w = jnp.maximum(tx1 - tx0, 0)
+    h = jnp.maximum(ty1 - ty0, 0)
+    tiles = jnp.where(proj.tiles_touched > 0, w * h, 0).astype(jnp.int32)
+    rect = jnp.stack([tx0, ty0, tx1, ty1], axis=-1)
+    rect = jnp.where((tiles > 0)[:, None], rect, 0)
+    return proj._replace(tile_rect=rect.astype(jnp.int32),
+                         tiles_touched=tiles,
+                         radius=jnp.where(tiles > 0, proj.radius, 0))
+
+
 def rasterize_pallas(proj: ProjectedGaussians, rgbz: jnp.ndarray,
                      opacity: jnp.ndarray, cfg: RasterConfig):
     """Rasterize projected Gaussians with the Pallas kernels.
@@ -591,6 +696,14 @@ def rasterize_pallas(proj: ProjectedGaussians, rgbz: jnp.ndarray,
         radius=jnp.where(keep, proj.radius, 0),
         tiles_touched=jnp.where(keep, proj.tiles_touched, 0),
         tile_rect=jnp.where(keep[:, None], proj.tile_rect, 0))
+    # Exact rect tightening (see snug_tile_rect): binning-side only. The
+    # snug outputs are integer rect/count fields (no tangents); compute
+    # them on stop_gradient inputs and keep the differentiable fields.
+    snug = snug_tile_rect(jax.lax.stop_gradient(proj_b),
+                          jax.lax.stop_gradient(opacity))
+    proj_b = proj_b._replace(tile_rect=snug.tile_rect,
+                             tiles_touched=snug.tiles_touched,
+                             radius=snug.radius)
 
     composite = _make_composite(cfg)
     out_tiles = composite(proj_b.mean2d, proj_b.conic, rgbz, opacity,

@@ -18,11 +18,23 @@ import jax
 import numpy as np
 
 
+def _is_sharded(x) -> bool:
+    """A jax.Array laid out across >1 device (mesh-sharded or replicated
+    under a mesh): keep it device-resident so orbax performs a distributed
+    per-shard write/read instead of a host gather (which on multi-host
+    would fail for non-fully-addressable arrays)."""
+    return isinstance(x, jax.Array) and len(x.sharding.device_set) > 1
+
+
 def _tree_to_numpy(tree):
-    """To numpy, replacing zero-size leaves (e.g. sh_rest at SH degree 0)
-    with a scalar sentinel — orbax refuses zero-size arrays; the template
-    restores their true (contentless) shape."""
+    """Normalize leaves for orbax: zero-size leaves (e.g. sh_rest at SH
+    degree 0) become a scalar sentinel — orbax refuses zero-size arrays;
+    the template restores their true (contentless) shape. Mesh-sharded
+    jax.Arrays pass through untouched (orbax writes each shard from its
+    owning host); everything else goes to host numpy."""
     def conv(x):
+        if _is_sharded(x) and x.size > 0:
+            return x
         x = np.asarray(x)
         return np.zeros((1,), np.float32) if x.size == 0 else x
 
@@ -70,13 +82,20 @@ def load_checkpoint_meta(path: str) -> dict | None:
 
 def restore_checkpoint(path: str, template: Any = None):
     """Restore (state, step). ``template`` (same pytree structure) restores
-    leaves with matching types/shapes; without it, raw arrays come back."""
+    leaves with matching types/shapes; without it, raw arrays come back.
+
+    Mesh-aware: template leaves that are mesh-sharded jax.Arrays (e.g. a
+    multiseq state put on the ``data`` axis, or ``jax.device_put`` of the
+    capture tree under a Mesh) come back with the SAME NamedSharding —
+    orbax reads only each host's shards, so a multi-host restore never
+    materializes the full array on one host."""
     import orbax.checkpoint as ocp
     path = os.path.abspath(path)
     with ocp.PyTreeCheckpointer() as ckptr:
         if template is not None:
             item = {"state": _tree_to_numpy(template), "step": 0}
-            out = ckptr.restore(path, item=item)
+            restore_args = ocp.checkpoint_utils.construct_restore_args(item)
+            out = ckptr.restore(path, item=item, restore_args=restore_args)
             out = {"state": _restore_empties(out["state"], template),
                    "step": out["step"]}
         else:

@@ -69,6 +69,53 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     assert np.asarray(restored["active"]).sum() == 20
 
 
+def test_checkpoint_mesh_sharded_roundtrip(tmp_path, rng):
+    """Mesh-aware checkpointing (ROADMAP item 14): a state sharded over
+    the mesh data axis saves per-shard (no host gather of the full array)
+    and restores WITH its NamedSharding from a sharded template; a fresh
+    process may also restore the same checkpoint unsharded (numpy
+    template), and vice versa."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = jax.devices()[:8]
+    mesh = Mesh(np.array(devs).reshape(4, 2), ("data", "tiles"))
+    sharding = NamedSharding(mesh, P("data"))
+
+    big = jnp.asarray(rng.normal(size=(8, 16, 3)).astype(np.float32))
+    small = jnp.asarray(rng.normal(size=(4,)).astype(np.float32))
+    empty = jnp.zeros((8, 0, 3), jnp.float32)
+    state = {"gauss": jax.device_put(big, sharding),
+             "pose": jax.device_put(small, NamedSharding(mesh, P())),
+             "sh_rest": empty}
+    path = str(tmp_path / "ckpt_sharded")
+    save_checkpoint(path, state, step=7)
+
+    # sharded template -> restored arrays carry the same sharding
+    restored, step = restore_checkpoint(path, template=state)
+    assert step == 7
+    assert restored["gauss"].sharding == sharding
+    np.testing.assert_allclose(np.asarray(restored["gauss"]),
+                               np.asarray(big))
+    np.testing.assert_allclose(np.asarray(restored["pose"]),
+                               np.asarray(small))
+    assert restored["sh_rest"].shape == (8, 0, 3)
+
+    # plain host template -> same values, no mesh needed
+    host_tmpl = jax.tree.map(np.asarray, state)
+    restored2, _ = restore_checkpoint(path, template=host_tmpl)
+    np.testing.assert_allclose(np.asarray(restored2["gauss"]),
+                               np.asarray(big))
+
+    # and a host-saved checkpoint restores into a sharded template
+    path2 = str(tmp_path / "ckpt_host")
+    save_checkpoint(path2, host_tmpl, step=9)
+    restored3, step3 = restore_checkpoint(path2, template=state)
+    assert step3 == 9 and restored3["gauss"].sharding == sharding
+    np.testing.assert_allclose(np.asarray(restored3["gauss"]),
+                               np.asarray(big))
+
+
 def test_scared_fsio_cache(tmp_path):
     """cache="auto": first load builds the fsio mmap cache, second load
     reads it back bit-identically (VideoSequence round-trip through the

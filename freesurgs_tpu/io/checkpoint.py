@@ -70,6 +70,29 @@ def save_checkpoint(path: str, state: Any, step: int,
             json.dump(meta, f)
 
 
+def latest_checkpoint(model_dir: str) -> str | None:
+    """Resolve the newest checkpoint under a run directory (the
+    reference's ``searchForMaxIteration``, ``utils/system_utils.py:23-28``,
+    used by its ``load_iteration=-1`` path): ``ckpt_final`` if training
+    completed, else the highest-numbered periodic ``ckpt_<iter>``, else
+    ``ckpt_progressive``. None when the directory holds no checkpoint."""
+    final = os.path.join(model_dir, "ckpt_final")
+    if os.path.isdir(final):
+        return final
+    numbered = []
+    if os.path.isdir(model_dir):
+        for name in os.listdir(model_dir):
+            if name.startswith("ckpt_") and os.path.isdir(
+                    os.path.join(model_dir, name)):
+                suffix = name[len("ckpt_"):]
+                if suffix.isdigit():
+                    numbered.append((int(suffix), name))
+    if numbered:
+        return os.path.join(model_dir, max(numbered)[1])
+    prog = os.path.join(model_dir, "ckpt_progressive")
+    return prog if os.path.isdir(prog) else None
+
+
 def load_checkpoint_meta(path: str) -> dict | None:
     """Read the shape-metadata sidecar (None for pre-metadata checkpoints)."""
     import json

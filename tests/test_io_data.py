@@ -1,3 +1,5 @@
+import os
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -67,6 +69,19 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(np.asarray(restored["params"]["means"]),
                                np.asarray(f.means))
     assert np.asarray(restored["active"]).sum() == 20
+
+
+def test_latest_checkpoint(tmp_path):
+    from freesurgs_tpu.io.checkpoint import latest_checkpoint
+    d = str(tmp_path)
+    assert latest_checkpoint(d) is None
+    os.makedirs(os.path.join(d, "ckpt_progressive"))
+    assert latest_checkpoint(d).endswith("ckpt_progressive")
+    os.makedirs(os.path.join(d, "ckpt_0005000"))
+    os.makedirs(os.path.join(d, "ckpt_0010000"))
+    assert latest_checkpoint(d).endswith("ckpt_0010000")
+    os.makedirs(os.path.join(d, "ckpt_final"))
+    assert latest_checkpoint(d).endswith("ckpt_final")
 
 
 def test_checkpoint_mesh_sharded_roundtrip(tmp_path, rng):

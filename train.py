@@ -59,14 +59,24 @@ def main(argv=None):
             cfg.run.port, lambda: trainer.field,
             lambda: trainer.poses.w2c(trainer.cur_frame), seq.cam,
             impl=cfg.run.impl or None,
-            max_instances=cfg.run.max_instances)
+            max_instances=cfg.run.max_instances,
+            get_frame_pose=lambda t: trainer.poses.w2c(t),
+            num_frames=seq.num_frames,
+            export_dir=os.path.join(cfg.run.model_path, "render_path"))
         if viewer is None:
             logger.info("viser not installed; running headless")
         trainer.viewer = viewer
 
     if cfg.run.start_checkpoint:
-        trainer.restore(cfg.run.start_checkpoint)
-        logger.info(f"restored {cfg.run.start_checkpoint} at iteration "
+        ckpt = cfg.run.start_checkpoint
+        if ckpt == "latest":   # reference load_iteration=-1 semantics
+            from freesurgs_tpu.io.checkpoint import latest_checkpoint
+            ckpt = latest_checkpoint(cfg.run.model_path)
+            if ckpt is None:
+                logger.info(f"no checkpoint under {cfg.run.model_path}")
+                return 1
+        trainer.restore(ckpt)
+        logger.info(f"restored {ckpt} at iteration "
                     f"{int(trainer.state.iteration)}")
 
     if cfg.run.test:

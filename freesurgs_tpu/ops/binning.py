@@ -31,7 +31,14 @@ import jax.numpy as jnp
 
 from .projection import ProjectedGaussians
 
-CHUNK = 128  # instances per kernel step; lane-dim alignment quantum
+import os
+
+# Instances per kernel step; lane-dim alignment quantum. Larger CHUNK
+# amortizes kernel loop/DMA overhead but inflates per-tile padding (one
+# extra half-chunk of M per tile on average); 128 is the measured sweet
+# spot on v5e. FSTPU_CHUNK overrides for A/B experiments only — layouts,
+# kernels and capacity all derive from this single constant.
+CHUNK = int(os.environ.get("FSTPU_CHUNK", "128"))
 
 
 def derive_bin_rect(proj: ProjectedGaussians, scale: int

@@ -205,6 +205,49 @@ def _chunk_weights(abar, log_T, done, tri):
     return w, T_pre, valid, abar, new_log_T, new_done
 
 
+def _pixel_basis(pixx, pixy, t, grid_x, bin_tile):
+    """Static per-tile moment basis P = [1, rx, ry, rx^2, rx*ry, ry^2]
+    (npix, 6), with rx/ry tile-CENTER-relative pixel coords — integers in
+    [-bin_tile/2, bin_tile/2), so every entry is EXACT in bf16: |rx| <=
+    16, hence |rx^2|, |rx*ry| <= 256, and every integer of magnitude
+    <= 256 fits bf16's 8 mantissa bits. (Tile-ORIGIN-relative coords
+    would break at bin_tile=32: 31^2 = 961 needs 10 bits.)
+
+    Also returns the (ox, oy) origin so callers can shift per-instance
+    centers into the same frame. The relative frame is what makes the
+    moment recombination numerically safe: |px_rel| is bounded by the
+    instance's own tile reach (~3.3 sigma + bin_tile), so the usual
+    raw-coordinate cancellation (px^2 ~ 1e6 swamping dx^2 ~ 1) never
+    appears."""
+    half = bin_tile // 2
+    ox = jnp.float32((t % grid_x) * bin_tile + half)
+    oy = jnp.float32((t // grid_x) * bin_tile + half)
+    rx = pixx - ox
+    ry = pixy - oy
+    one = jnp.ones_like(rx)
+    P = jnp.concatenate([one, rx, ry, rx * rx, rx * ry, ry * ry], axis=1)
+    return P.astype(jnp.bfloat16), ox, oy
+
+
+def _moment_mm(P_bf16, x):
+    """S[j, c] = sum_p P[p, j] * x[p, c] on the MXU, f32-true.
+
+    P is exact in bf16 (see _pixel_basis); only ``x`` needs the 3-term
+    bf16 split, so three DEFAULT passes reproduce the f32 contraction to
+    ~2^-24 relative (same scheme as _cumsum_mm)."""
+    hi = x.astype(jnp.bfloat16)
+    mid = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)
+          - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def mm(a):
+        return jax.lax.dot_general(P_bf16, a, (((0,), (0,)), ((), ())),
+                                   precision=jax.lax.Precision.DEFAULT,
+                                   preferred_element_type=jnp.float32)
+
+    return mm(hi) + mm(mid) + mm(lo)
+
+
 def _chunk_channels(f):
     """(N_OUT, CHUNK) channel value rows [r, g, b, z, 1, z^2, 0, 0]."""
     z = f[9:10, :]
@@ -342,6 +385,7 @@ def _bwd_kernel(grid_x: int, bin_tile: int, starts_ref, counts_ref, keff_ref,
     if not masked:
         p16x = p16y = None
     tri = _tri_incl()
+    Pb, ox, oy = _pixel_basis(pixx, pixy, t, grid_x, bin_tile)
 
     g8 = gout_ref[0]                      # (npix, N_OUT)
     out8 = out_saved_ref[0]
@@ -409,36 +453,38 @@ def _bwd_kernel(grid_x: int, bin_tile: int, starts_ref, counts_ref, keff_ref,
             dpow = dG * expp
             ca, cb, cc = f[2:3, :], f[3:4, :], f[4:5, :]
 
-            def psum(x):  # reduce over pixels -> (1, CHUNK)
-                return jnp.sum(x, axis=0, keepdims=True)
-
-            # Moment restructure: psum(dpow * poly(dx, dy)) terms expand
-            # into per-instance (lane) combinations of SIX shared moments,
-            # trading ~15 full-size (npix, CHUNK) VPU products for (1,
-            # CHUNK) lane arithmetic. Same f32 math, modest reassociation
-            # (sum-then-scale instead of scale-then-sum).
-            pdx = dpow * dx
-            pdy = dpow * dy
-            m1 = psum(dpow)
-            r1 = psum(pdx)
-            r2 = psum(pdy)
-            ra = psum(pdx * dx)
-            rb = psum(pdx * dy)
-            rc = psum(pdy * dy)
+            # Moment reductions on the MXU: every per-instance gradient
+            # that was psum(dpow * poly(dx, dy)) factors through SIX
+            # tile-static moments S = P^T dpow (P = [1, rx, ry, rx^2,
+            # rx ry, ry^2], exact in bf16), then (1, CHUNK) lane
+            # recombination about the instance center — replacing ~10
+            # full-size VPU products/reductions with one 3-pass matmul.
+            # dx = px_rel - rx, so e.g. sum dpow dx^2 =
+            #   px_rel^2 s0 - 2 px_rel sx + sxx.
+            S = _moment_mm(Pb, dpow)                       # (6, CHUNK)
+            s0, sx, sy = S[0:1, :], S[1:2, :], S[2:3, :]
+            sxx, sxy, syy = S[3:4, :], S[4:5, :], S[5:6, :]
+            pxr = f[0:1, :] - ox
+            pyr = f[1:2, :] - oy
+            r1 = pxr * s0 - sx
+            r2 = pyr * s0 - sy
+            ra = pxr * pxr * s0 - 2.0 * pxr * sx + sxx
+            rb = pxr * pyr * s0 - pxr * sy - pyr * sx + sxy
+            rc = pyr * pyr * s0 - 2.0 * pyr * sy + syy
             dmx = -(ca * r1 + cb * r2)
             dmy = -(cc * r2 + cb * r1)
             dA = -0.5 * ra
             dB = -rb
             dC = -0.5 * rc
             # dpow == (dalpha * expp * clamp_ok) * opac, with opac constant
-            # per instance, so dop = m1 / opac (0 where opac == 0: padding
+            # per instance, so dop = s0 / opac (0 where opac == 0: padding
             # slots have dpow identically 0).
-            dop = jnp.where(opac > 0.0, m1 / jnp.maximum(opac, 1e-30), 0.0)
-            dr = psum(w * g8[:, 0:1])
-            dg = psum(w * g8[:, 1:2])
-            db = psum(w * g8[:, 2:3])
+            dop = jnp.where(opac > 0.0, s0 / jnp.maximum(opac, 1e-30), 0.0)
+            # Channel gradients likewise: WS[j] = sum_p g8[p, j] w[p, c]
+            WS = _matmul(g8, w, ((0,), (0,)))              # (8, CHUNK)
+            dr, dg, db = WS[0:1, :], WS[1:2, :], WS[2:3, :]
             z = f[9:10, :]
-            dz = psum(w * g8[:, 3:4]) + (2.0 * z) * psum(w * g8[:, 5:6])
+            dz = WS[3:4, :] + (2.0 * z) * WS[5:6, :]
             zero = jnp.zeros_like(dmx)
             dout = jnp.concatenate(
                 [dmx, dmy, dA, dB, dC, dop, dr, dg, db, dz,
@@ -669,6 +715,44 @@ def snug_tile_rect(proj: ProjectedGaussians, opacity: jnp.ndarray
                          radius=jnp.where(tiles > 0, proj.radius, 0))
 
 
+def _prune_and_snug(proj: ProjectedGaussians, opacity: jnp.ndarray
+                    ) -> ProjectedGaussians:
+    """The binning-side instance reduction applied before every rasterize.
+
+    Exact pre-prune: a gaussian with peak alpha (== opacity, at the
+    center) below the 1/255 compositing cutoff can never pass the
+    ``alpha >= ALPHA_MIN`` test at ANY pixel, so it contributes zero to
+    the output and zero to every gradient (the cutoff is a hard flat
+    region). Dropping its instances before binning is therefore
+    bit-exact; proj.radius as seen by the CALLER is untouched, so
+    radii/visibility statistics keep reference semantics. Then the exact
+    rect tightening (see snug_tile_rect). All outputs are integer
+    rect/count fields (no tangents): computed on stop_gradient inputs,
+    differentiable fields pass through.
+    """
+    keep = jax.lax.stop_gradient(opacity) >= ALPHA_MIN
+    proj_b = proj._replace(
+        radius=jnp.where(keep, proj.radius, 0),
+        tiles_touched=jnp.where(keep, proj.tiles_touched, 0),
+        tile_rect=jnp.where(keep[:, None], proj.tile_rect, 0))
+    snug = snug_tile_rect(jax.lax.stop_gradient(proj_b),
+                          jax.lax.stop_gradient(opacity))
+    return proj_b._replace(tile_rect=snug.tile_rect,
+                           tiles_touched=snug.tiles_touched,
+                           radius=snug.radius)
+
+
+def effective_bin_tiles(proj: ProjectedGaussians, opacity: jnp.ndarray,
+                        bin_scale: int) -> jnp.ndarray:
+    """Per-gaussian covered-bin count EXACTLY as rasterize_pallas will bin
+    (opacity pre-prune + snug rects + bin-granularity coarsening). The
+    instance-capacity auto-sizer must probe with this — probing raw 16px
+    tiles_touched overestimates ~5-10x (no snug, wrong granularity) and
+    at full resolution that over-allocation alone can OOM the chip."""
+    binned = derive_bin_rect(_prune_and_snug(proj, opacity), bin_scale)
+    return binned.tiles_touched
+
+
 def rasterize_pallas(proj: ProjectedGaussians, rgbz: jnp.ndarray,
                      opacity: jnp.ndarray, cfg: RasterConfig):
     """Rasterize projected Gaussians with the Pallas kernels.
@@ -684,27 +768,7 @@ def rasterize_pallas(proj: ProjectedGaussians, rgbz: jnp.ndarray,
       background, final_T (H, W), overflow () int32 (dropped instances,
       including CHUNK-alignment padding loss).
     """
-    # Exact pre-prune: a gaussian with peak alpha (== opacity, at the
-    # center) below the 1/255 compositing cutoff can never pass the
-    # ``alpha >= ALPHA_MIN`` test at ANY pixel, so it contributes zero to
-    # the output and zero to every gradient (the cutoff is a hard flat
-    # region). Dropping its instances before binning is therefore
-    # bit-exact; proj.radius as seen by the CALLER is untouched, so
-    # radii/visibility statistics keep reference semantics.
-    keep = jax.lax.stop_gradient(opacity) >= ALPHA_MIN
-    proj_b = proj._replace(
-        radius=jnp.where(keep, proj.radius, 0),
-        tiles_touched=jnp.where(keep, proj.tiles_touched, 0),
-        tile_rect=jnp.where(keep[:, None], proj.tile_rect, 0))
-    # Exact rect tightening (see snug_tile_rect): binning-side only. The
-    # snug outputs are integer rect/count fields (no tangents); compute
-    # them on stop_gradient inputs and keep the differentiable fields.
-    snug = snug_tile_rect(jax.lax.stop_gradient(proj_b),
-                          jax.lax.stop_gradient(opacity))
-    proj_b = proj_b._replace(tile_rect=snug.tile_rect,
-                             tiles_touched=snug.tiles_touched,
-                             radius=snug.radius)
-
+    proj_b = _prune_and_snug(proj, opacity)
     composite = _make_composite(cfg)
     out_tiles = composite(proj_b.mean2d, proj_b.conic, rgbz, opacity,
                           proj_b.depth, proj_b.tile_rect,

@@ -114,13 +114,24 @@ class Trainer:
         # check grows it later if the map densifies past the margin)
         if not self.cfg.max_instances:
             from ..ops.projection import project_gaussians
-            proj = jax.jit(lambda f: project_gaussians(
-                f.means, jnp.exp(f.log_scales), f.quats, self.cam,
-                active=f.active))(field)
-            total = int(jnp.sum(proj.tiles_touched))
-            m = max(-(-int(3.0 * total) // 128) * 128, 4096)
+            from ..ops.raster_pallas import effective_bin_tiles
+
+            def probe(f):
+                proj = project_gaussians(
+                    f.means, jnp.exp(f.log_scales), f.quats, self.cam,
+                    active=f.active)
+                opac = jax.nn.sigmoid(f.logit_opacity)
+                return jnp.sum(effective_bin_tiles(proj, opac, 2))
+
+            total = int(jax.jit(probe)(field))
+            # 1.5x margin over the EFFECTIVE (pruned+snug, 32px) count;
+            # _check_overflow grows it adaptively if densification blows
+            # past it, up to the hard cap (HBM: M-sized gather temps pad
+            # their minor dim to 128 lanes, ~512 B/instance transient).
+            m = max(-(-int(1.5 * total) // 128) * 128, 4096)
+            m = min(m, self.cfg.max_instances_cap)
             self.log_fn(f"auto max_instances: {m} "
-                        f"(frame-0 instances {total})")
+                        f"(frame-0 effective instances {total})")
             self.cfg = self.cfg._replace(max_instances=m)
 
         self.keyframes: list[int] = []
@@ -175,6 +186,15 @@ class Trainer:
         if ov > 0:
             cur = self.cfg.max_instances or 0
             new_m = -(-int((cur + ov) * 1.5) // 128) * 128
+            new_m = min(new_m, self.cfg.max_instances_cap)
+            if new_m <= cur:
+                # At the HBM-safety cap: keep training; per-tile drops are
+                # deepest-first, behind the T_EPS-saturating front splats,
+                # so the overflow loss is bounded and logged — not fatal.
+                self.log_fn(f"instance overflow {int(ov)} at the "
+                            f"max_instances cap {cur}: deepest instances "
+                            "drop (bounded by per-tile depth order)")
+                return
             self.log_fn(f"instance overflow {int(ov)}: max_instances "
                         f"{cur} -> {new_m} (recompiling)")
             self.cfg = self.cfg._replace(max_instances=new_m)

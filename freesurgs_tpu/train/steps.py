@@ -70,6 +70,12 @@ class TrainConfig(NamedTuple):
     keyframe_policy: str = "uniform"
     # renderer
     max_instances: int = 0
+    # Hard ceiling for auto-size/overflow growth of the instance buffer:
+    # M-sized binning temporaries pad to ~512 B/instance transient HBM on
+    # TPU, so an uncapped M (full-res frame 0 can touch 10M+ raw
+    # instances) compiles to an OOM. At the cap, overflow drops
+    # deepest-per-tile instances instead of growing.
+    max_instances_cap: int = 3_145_728
     impl: str | None = None
     densify: DensifyConfig = DensifyConfig()
 

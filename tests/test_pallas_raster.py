@@ -154,6 +154,51 @@ def test_inactive_slots_excluded(rng):
                                np.asarray(out_30["render"]), atol=2e-5)
 
 
+@pytest.mark.parametrize("bin_tile", [16, 32])
+def test_saturated_early_termination(rng, bin_tile):
+    """Early-termination watermark (keff): a deck of near-opaque, frame-
+    covering Gaussians saturates every pixel within the first chunks, so
+    the forward stops composites early and the backward skips (and
+    zero-fills) the never-composited tail. Values AND gradients must
+    still match the oracle, which applies the per-pixel cutoff with no
+    chunk-level break."""
+    n = 600   # several CHUNKs deep on every tile
+    means = np.stack([
+        rng.uniform(-0.3, 0.3, n), rng.uniform(-0.25, 0.25, n),
+        rng.uniform(0.6, 3.0, n)], -1).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    log_scales = rng.uniform(-1.5, -0.5, (n, 3)).astype(np.float32)
+    logit_op = rng.uniform(2.5, 4.0, n).astype(np.float32)  # sigmoid>0.92
+    sh = rng.normal(size=(n, 1, 3)).astype(np.float32) * 0.3
+    args = tuple(map(jnp.asarray, (means, quats, log_scales, logit_op, sh)))
+    wimg = jnp.asarray(rng.normal(size=(3, CAM.height, CAM.width))
+                       .astype(np.float32))
+
+    def loss(means, lo, impl):
+        out = render(means, args[1], args[2], lo, args[4], jnp.eye(4),
+                     CAM, impl=impl, max_instances=16384,
+                     bin_tile=bin_tile)
+        return jnp.sum(out["render"] * wimg), out
+
+    (la, outa), ga = jax.value_and_grad(loss, argnums=(0, 1),
+                                        has_aux=True)(
+        args[0], args[3], "oracle")
+    (lb, outb), gb = jax.value_and_grad(loss, argnums=(0, 1),
+                                        has_aux=True)(
+        args[0], args[3], "pallas_interpret")
+    assert int(outb["overflow"]) == 0
+    # saturation really happened: the median pixel sits at the T_EPS
+    # cutoff floor (the loop stops just before crossing 1e-4)
+    assert float(jnp.median(outa["final_T"])) < 1e-3
+    np.testing.assert_allclose(np.asarray(outa["render"]),
+                               np.asarray(outb["render"]), atol=2e-5)
+    for name, a, b in zip(("means", "logit_op"), ga, gb):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(a / scale, b / scale, atol=5e-5,
+                                   err_msg=f"grad mismatch: {name}")
+
+
 @pytest.mark.parametrize("hw", [(33, 47), (16, 16)])
 def test_nonmultiple_tile_sizes(rng, hw):
     h, w = hw

@@ -42,19 +42,35 @@ class SyntheticScene(NamedTuple):
 
 
 def _smooth_trajectory(num_frames: int, seed: int, rot_mag=0.02,
-                       trans_mag=0.015):
+                       trans_mag=0.015, revert=0.06):
+    """Smooth mean-reverting camera path (Ornstein-Uhlenbeck on a small
+    rotation vector + translation).
+
+    A pure momentum walk accumulates ~sqrt(T) drift: over a 60-frame
+    full-length sequence the camera rotated >1 rad and left the scene
+    entirely (frames went blank white, which silently destroyed a full
+    training run — opacity gradients vanish and the reset+prune cycle
+    extinguishes the field). The reversion term bounds the excursion to
+    ~rot_mag/revert rad (~0.3) and keeps the Gaussian blob in frame for
+    arbitrarily long sequences while frame-to-frame motion stays the
+    same scale the tracking tests were tuned on.
+    """
     rng = np.random.default_rng(seed)
     qs = [np.array([1.0, 0, 0, 0])]
     ts = [np.zeros(3)]
+    v = np.zeros(3)   # accumulated small-angle rotation vector (q[1:4])
+    p = np.zeros(3)
     dq = rng.normal(size=3) * rot_mag
     dt = rng.normal(size=3) * trans_mag
     for _ in range(1, num_frames):
-        dq = 0.9 * dq + rng.normal(size=3) * rot_mag * 0.3
-        dt = 0.9 * dt + rng.normal(size=3) * trans_mag * 0.3
-        q = qs[-1] + np.concatenate([[0.0], dq])
+        dq = 0.9 * dq + rng.normal(size=3) * rot_mag * 0.3 - revert * v
+        dt = 0.9 * dt + rng.normal(size=3) * trans_mag * 0.3 - revert * p
+        v = v + dq
+        p = p + dt
+        q = np.concatenate([[1.0], v])
         q = q / np.linalg.norm(q)
         qs.append(q)
-        ts.append(ts[-1] + dt)
+        ts.append(p.copy())
     return (jnp.asarray(np.stack(qs), jnp.float32),
             jnp.asarray(np.stack(ts), jnp.float32))
 

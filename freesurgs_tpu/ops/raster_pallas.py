@@ -49,7 +49,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .binning import CHUNK, build_tile_bins, derive_bin_rect
-from .binning_fast import BinAux, build_tile_bins_fast
+from .binning_fast import build_tile_bins_fast
 from .oracle import ALPHA_MAX, ALPHA_MIN, T_EPS
 from .projection import TILE, ProjectedGaussians
 
@@ -589,42 +589,107 @@ def _build_feat(fields, bins):
     return feat, meta
 
 
+class BinState(NamedTuple):
+    """A tile-binning layout, reusable across rasterize calls.
+
+    Produced by ``compute_bin_state`` (or internally on every fresh
+    rasterize). Carrying it across optimizer iterations amortizes the
+    binning stage — the dominant non-kernel cost (BASELINE.md) — under
+    this exactness contract (requires ``bin_tile > 16`` masked mode):
+
+    - Pixel membership is enforced IN-KERNEL against the *fresh* 16px
+      snug rect and the fresh alpha cutoff, both regathered every call:
+      stale instances whose Gaussian moved away / faded / was pruned
+      contribute exactly zero value and zero gradient.
+    - A Gaussian that grew or moved BEYOND its binned coverage
+      (``bin_rect``) loses the uncovered sliver until the next rebin —
+      the only approximation. The reference rebins every iteration
+      (CUDA duplicate+sort); ``rebin_every=1`` reproduces that exactly.
+    - Gradients are the exact VJP of the stale-bin forward (the
+      custom_vjp below consumes the same layout), so optimization under
+      reuse remains well-posed.
+    - After densification/pruning a slot may hold a DIFFERENT Gaussian:
+      callers must force a rebin after any slot surgery (the training
+      loops do; see train/steps.py).
+    """
+    gather_idx: jnp.ndarray     # (M,) slot -> gaussian index (n = padding)
+    tile_start: jnp.ndarray     # (T,) CHUNK-aligned run starts
+    tile_count: jnp.ndarray     # (T,) real instances per tile
+    num_instances: jnp.ndarray  # () kept instances at bin time
+    overflow: jnp.ndarray       # () dropped at bin time
+    pos: jnp.ndarray            # (M,) pre-slot -> layout pos (fast binning)
+    offsets: jnp.ndarray        # (N,) inclusive count cumsum, depth order
+    order: jnp.ndarray          # (N,) depth rank -> gaussian index
+    bin_rect: jnp.ndarray       # (N, 4) coarse bin rect at bin time
+
+
+def _bin_state(projb: ProjectedGaussians, cfg: RasterConfig) -> BinState:
+    """Bin at coarse granularity (projb already pruned+snugged+derived)."""
+    if cfg.fast_binning:
+        bins, aux = build_tile_bins_fast(projb, cfg.grid_x, cfg.grid_y,
+                                         cfg.max_instances, return_aux=True)
+        pos, offsets, order = aux.pos, aux.offsets, aux.order
+    else:
+        bins = build_tile_bins(projb, cfg.grid_x, cfg.grid_y,
+                               cfg.max_instances)
+        pos = offsets = order = jnp.zeros((0,), jnp.int32)
+    return BinState(bins.gather_idx, bins.tile_start, bins.tile_count,
+                    bins.num_instances, bins.overflow,
+                    pos, offsets, order, projb.tile_rect)
+
+
+def compute_bin_state(proj: ProjectedGaussians, opacity: jnp.ndarray,
+                      cfg: RasterConfig) -> BinState:
+    """Build a reusable binning layout from raw projections (applies the
+    same opacity pre-prune + snug rects as ``rasterize_pallas``)."""
+    projb = derive_bin_rect(_prune_and_snug(proj, opacity), cfg.bin_scale)
+    return _bin_state(projb, cfg)
+
+
+def zero_bin_state(n: int, cfg: RasterConfig) -> BinState:
+    """An empty (renders-nothing) BinState with the right shapes — a loop
+    carry initializer for callers that force a rebin on iteration 0."""
+    m = cfg.max_instances
+    zi = jnp.zeros
+    naux = m if cfg.fast_binning else 0
+    return BinState(jnp.full((m,), n, jnp.int32),
+                    zi((cfg.num_tiles,), jnp.int32),
+                    zi((cfg.num_tiles,), jnp.int32),
+                    jnp.int32(0), jnp.int32(0),
+                    jnp.full((naux,), m, jnp.int32),
+                    zi((n if cfg.fast_binning else 0,), jnp.int32),
+                    zi((n if cfg.fast_binning else 0,), jnp.int32),
+                    zi((n, 4), jnp.int32))
+
+
 @functools.lru_cache(maxsize=32)
 def _make_composite(cfg: RasterConfig):
-    """Build the custom_vjp compositing function for a static config."""
+    """Build the custom_vjp compositing function for a static config.
+
+    Binning happens OUTSIDE the vjp boundary (it is gradient-free: depth
+    order and integer rects carry no tangents, matching the CUDA
+    duplicate+sort stage) so a precomputed ``BinState`` can be reused
+    across calls.
+    """
 
     @jax.custom_vjp
-    def composite(mean2d, conic, rgbz, opacity, depth, tile_rect,
-                  tiles_touched, radius):
-        out, _ = _composite_fwd(mean2d, conic, rgbz, opacity, depth,
-                                tile_rect, tiles_touched, radius)
+    def composite(mean2d, conic, rgbz, opacity, rect16, bins):
+        out, _ = _composite_fwd(mean2d, conic, rgbz, opacity, rect16, bins)
         return out
 
-    def _composite_fwd(mean2d, conic, rgbz, opacity, depth, tile_rect,
-                       tiles_touched, radius):
-        proj = ProjectedGaussians(mean2d=mean2d, conic=conic, depth=depth,
-                                  radius=radius, tile_rect=tile_rect,
-                                  tiles_touched=tiles_touched)
-        projb = derive_bin_rect(proj, cfg.bin_scale)
-        fields = _field_cols(mean2d, conic, rgbz, opacity, tile_rect, cfg)
-        if cfg.fast_binning:
-            bins, aux = build_tile_bins_fast(projb, cfg.grid_x, cfg.grid_y,
-                                             cfg.max_instances,
-                                             return_aux=True)
-        else:
-            bins = build_tile_bins(projb, cfg.grid_x, cfg.grid_y,
-                                   cfg.max_instances)
-            aux = None
+    def _composite_fwd(mean2d, conic, rgbz, opacity, rect16, bins):
+        fields = _field_cols(mean2d, conic, rgbz, opacity, rect16, cfg)
         feat, meta = _build_feat(fields, bins)
         out, keff = _run_fwd(feat, meta, cfg)
-        res = (feat, meta, keff, bins.gather_idx, aux, out, mean2d.shape[0])
+        res = (feat, meta, keff, bins, out, mean2d.shape[0])
         return out, res
 
     def _composite_bwd(res, gout):
-        feat, meta, keff, gather_idx, aux, out_saved, n = res
+        feat, meta, keff, bins, out_saved, n = res
         dfeat = _run_bwd(feat, meta, keff, out_saved, gout, cfg)
         m = cfg.max_instances
-        if aux is not None:
+        if cfg.fast_binning:
+            aux = bins
             # Contiguous-run segment reduction (see BinAux): in pre-slot
             # (depth-major expansion) order every gaussian's instances are
             # contiguous, so the per-gaussian sum is ONE (M, 10) row
@@ -651,16 +716,15 @@ def _make_composite(cfg: RasterConfig):
             # Column-wise 1-D segment sums: a single (M, 16) row-windowed
             # scatter-add serializes in the TPU lowering (orders of
             # magnitude slower); per-column scatter-adds are ~free.
-            cols = [jnp.zeros((n + 1,), jnp.float32).at[gather_idx]
+            cols = [jnp.zeros((n + 1,), jnp.float32).at[bins.gather_idx]
                     .add(dfeat[k], mode="drop")[:n] for k in range(10)]
             dsrc = jnp.stack(cols, axis=1)            # (n, 10)
         f0 = jax.dtypes.float0
         zi = lambda x: np.zeros(x.shape, f0)  # noqa: E731
+        dbins = jax.tree.map(zi, bins)
         return (dsrc[:, 0:2], dsrc[:, 2:5], dsrc[:, 6:10], dsrc[:, 5],
-                jnp.zeros((n,), jnp.float32),   # depth: sort order, no grad
-                zi(jnp.zeros((n, 4), jnp.int32)),
-                zi(jnp.zeros((n,), jnp.int32)),
-                zi(jnp.zeros((n,), jnp.int32)))
+                zi(jnp.zeros((n, 4), jnp.int32)),     # rect16: hard cutoff
+                dbins)
 
     composite.defvjp(_composite_fwd, _composite_bwd)
     return composite
@@ -754,7 +818,8 @@ def effective_bin_tiles(proj: ProjectedGaussians, opacity: jnp.ndarray,
 
 
 def rasterize_pallas(proj: ProjectedGaussians, rgbz: jnp.ndarray,
-                     opacity: jnp.ndarray, cfg: RasterConfig):
+                     opacity: jnp.ndarray, cfg: RasterConfig,
+                     bins: BinState | None = None):
     """Rasterize projected Gaussians with the Pallas kernels.
 
     Args:
@@ -763,20 +828,29 @@ def rasterize_pallas(proj: ProjectedGaussians, rgbz: jnp.ndarray,
         — gradients w.r.t. depth-as-channel flow here; the sort order does
         not carry gradients, matching the CUDA kernel).
       opacity: (N,) in [0, 1].
+      bins: optional precomputed/reused binning layout (see BinState for
+        the exactness contract); None bins fresh. Requires masked binning
+        (bin_tile > 16) so stale instances are pixel-exactly masked.
     Returns:
       dict: image (6, H, W) channels [r, g, b, z, sil, z^2] WITHOUT
-      background, final_T (H, W), overflow () int32 (dropped instances,
-      including CHUNK-alignment padding loss).
+      background, final_T (H, W), overflow () int32 (instances the CURRENT
+      snug coverage would drop at this capacity — also a drift signal
+      under bin reuse), bins (the BinState used).
     """
     proj_b = _prune_and_snug(proj, opacity)
+    if bins is None:
+        bins = _bin_state(derive_bin_rect(proj_b, cfg.bin_scale), cfg)
+    else:
+        assert cfg.bin_tile > TILE, \
+            "bin reuse needs the in-kernel 16px rect mask (bin_tile > 16)"
     composite = _make_composite(cfg)
     out_tiles = composite(proj_b.mean2d, proj_b.conic, rgbz, opacity,
-                          proj_b.depth, proj_b.tile_rect,
-                          proj_b.tiles_touched, proj_b.radius)
+                          proj_b.tile_rect, bins)
     gx, gy, bt = cfg.grid_x, cfg.grid_y, cfg.bin_tile
     img = out_tiles.reshape(gy, gx, bt, bt, N_OUT)
     img = img.transpose(4, 0, 2, 1, 3).reshape(N_OUT, gy * bt, gx * bt)
     img = img[:, :cfg.height, :cfg.width]
     total = jnp.sum(derive_bin_rect(proj_b, cfg.bin_scale).tiles_touched)
     overflow = jnp.maximum(0, total - cfg.max_instances)
-    return {"image": img[0:6], "final_T": img[6], "overflow": overflow}
+    return {"image": img[0:6], "final_T": img[6], "overflow": overflow,
+            "bins": bins}

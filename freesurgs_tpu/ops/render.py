@@ -38,12 +38,27 @@ from ..core.sh import sh_to_rgb_clamped
 from ..core.transforms import transform_points
 from .oracle import rasterize_oracle
 from .projection import TILE, project_gaussians
-from .raster_pallas import RasterConfig, rasterize_pallas
+from .raster_pallas import BinState, RasterConfig, compute_bin_state, \
+    rasterize_pallas
 
 
 def default_impl() -> str:
     """'pallas' on TPU, 'pallas-interpret' elsewhere (tests/CPU)."""
     return "pallas" if jax.default_backend() == "tpu" else "pallas_interpret"
+
+
+def raster_config(cam: Camera, max_instances: int, n: int,
+                  impl: str | None = None, bin_tile: int = 32
+                  ) -> RasterConfig:
+    """The RasterConfig ``render`` will use for these arguments (public so
+    training loops can build matching BinState loop carries)."""
+    impl = impl or default_impl()
+    mi = max_instances if max_instances > 0 else max(8 * n, 1024)
+    mi = -(-mi // 128) * 128
+    return RasterConfig(height=cam.height, width=cam.width,
+                        max_instances=mi,
+                        interpret=(impl == "pallas_interpret"),
+                        bin_tile=bin_tile)
 
 
 @functools.partial(
@@ -61,7 +76,9 @@ def render(means3d: jnp.ndarray, quats: jnp.ndarray, log_scales: jnp.ndarray,
            max_instances: int = 0,
            gs_grad: bool = True,
            cam_grad: bool = True,
-           bin_tile: int = 32) -> dict[str, Any]:
+           bin_tile: int = 32,
+           bins: BinState | None = None,
+           rebin: jnp.ndarray | None = None) -> dict[str, Any]:
     """Render a view of the Gaussian field.
 
     Args:
@@ -84,9 +101,15 @@ def render(means3d: jnp.ndarray, quats: jnp.ndarray, log_scales: jnp.ndarray,
         coarser and masks per pixel with the 16px rect inside the kernel —
         bit-identical output with 2-3x fewer duplicated instances (the
         actual TPU bottleneck); 16 matches the CUDA binning literally.
+      bins: optional binning-layout carry for cross-iteration amortization
+        (see raster_pallas.BinState for the exactness contract). When
+        given, ``rebin`` (a traced bool) selects between binning fresh
+        this call and reusing ``bins``; the state actually used is
+        returned under the "bins" key for the caller to carry.
 
     Returns dict with keys: render (3,H,W), render_dep (H,W), render_sil,
-      uncertainty, final_T, radii, visibility, render_w2c, overflow.
+      uncertainty, final_T, radii, visibility, render_w2c, overflow
+      (+ bins when a bins carry was passed).
     """
     impl = impl or default_impl()
     n = means3d.shape[0]
@@ -125,24 +148,30 @@ def render(means3d: jnp.ndarray, quats: jnp.ndarray, log_scales: jnp.ndarray,
         final_T = out["final_T"]
         overflow = jnp.int32(0)
     else:
-        if max_instances <= 0:
-            max_instances = max(8 * n, 1024)
-        max_instances = -(-max_instances // 128) * 128
-        cfg = RasterConfig(height=cam.height, width=cam.width,
-                           max_instances=max_instances,
-                           interpret=(impl == "pallas_interpret"),
-                           bin_tile=bin_tile)
+        cfg = raster_config(cam, max_instances, n, impl, bin_tile)
         rgbz = jnp.concatenate([rgb, z[:, None]], axis=1)
-        out = rasterize_pallas(proj, rgbz, opacity, cfg)
+        if bins is not None:
+            assert rebin is not None, "bins carry requires a rebin flag"
+            bins = jax.lax.cond(
+                rebin,
+                lambda b: compute_bin_state(proj, opacity, cfg),
+                lambda b: b, bins)
+        out = rasterize_pallas(proj, rgbz, opacity, cfg, bins=bins)
         final_T = out["final_T"]
         image6 = out["image"] + final_T[None] * bg6[:, None, None]
         overflow = out["overflow"]
+        bins_used = out["bins"]
 
     depth = image6[3]
     sil = image6[4]
     depth_sq = image6[5]
     uncertainty = jax.lax.stop_gradient(depth_sq - depth * depth)
+    extra = {}
+    if bins is not None:
+        assert impl != "oracle", "bins carry unsupported for oracle impl"
+        extra["bins"] = bins_used
     return {
+        **extra,
         "render": image6[0:3],
         "render_dep": depth,
         "render_sil": sil,

@@ -38,12 +38,22 @@ def rgb_loss(img, gt, mask=None, lambda_dssim: float = 0.2):
 
 
 def pearson_depth_loss(src, target, eps: float = 1e-6):
-    """1 - Pearson correlation of two depth maps (any matching shape)."""
+    """1 - Pearson correlation of two depth maps (any matching shape).
+
+    The reference divides by ``std() + 1e-6`` (utils/loss_utils.py:104-105)
+    whose GRADIENT is NaN at zero variance (d std = (x-mu)/(N*std) is 0/0
+    for a constant map) — it never sees constant patches on real SCARED
+    frames, but a textureless view or an all-background render is enough
+    to poison every parameter through Adam. The smooth equivalent
+    ``x / sqrt(var + eps^2)`` matches to ~1e-5 relative on real inputs
+    and has a finite (zero) gradient at constant maps.
+    """
     s = src - jnp.mean(src)
     t = target - jnp.mean(target)
-    s = s / (jnp.std(s) + eps)
-    t = t / (jnp.std(t) + eps)
-    return 1.0 - jnp.mean(s * t)
+    vs = jnp.mean(s * s)
+    vt = jnp.mean(t * t)
+    co = jnp.mean(s * t) * jax.lax.rsqrt((vs + eps * eps) * (vt + eps * eps))
+    return 1.0 - co
 
 
 def local_pearson_loss(src, target, key, box: int = 128,

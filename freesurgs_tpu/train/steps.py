@@ -68,6 +68,17 @@ class TrainConfig(NamedTuple):
     # defined-but-uncalled keyframe_selection_overlap,
     # scene/pose_optimizer.py:534-577)
     keyframe_policy: str = "uniform"
+    # Binning-layout amortization (ops/raster_pallas.BinState): rebin the
+    # mapped CURRENT view every K optimizer iterations instead of every
+    # iteration, reusing the tile layout in between (pixel membership
+    # stays exact via the in-kernel fresh 16px rect mask; a gaussian that
+    # outgrows its binned coverage loses the sliver until the next rebin).
+    # Forced rebins on frame change and after densify/opacity-reset keep
+    # reuse safe; 1 == the reference's rebin-every-iteration semantics.
+    # Separate knob for tracking: pose steps move the whole image plane
+    # (~10 px/iter early), so stale layouts cost accuracy faster there.
+    rebin_every: int = 1
+    rebin_tracking_every: int = 1
     # renderer
     max_instances: int = 0
     # Hard ceiling for auto-size/overflow growth of the instance buffer:
@@ -106,8 +117,10 @@ def tracking_loop(field: GaussianField, quat0, trans0, gt_image, prev_depth,
     """
     pose0 = {"q": quat0, "t": trans0}
     opt0 = adam_init(pose0)
+    amortize = (cfg.rebin_tracking_every > 1 and mesh is None
+                and cfg.impl != "oracle")
 
-    def loss_fn(pose):
+    def loss_fn(pose, bins_c, rebin):
         w2c = build_w2c(pose["q"], pose["t"])
         if mesh is not None:
             from ..parallel.sharded import render_sharded_full
@@ -123,20 +136,23 @@ def tracking_loop(field: GaussianField, quat0, trans0, gt_image, prev_depth,
                          field.logit_opacity, field.sh, w2c, cam,
                          active=field.active, sh_degree=sh_degree,
                          impl=cfg.impl, max_instances=cfg.max_instances,
-                         gs_grad=False, cam_grad=True)
+                         gs_grad=False, cam_grad=True,
+                         bins=bins_c, rebin=rebin)
         mask = (out["render_dep"] > 0) & (rigid_mask > 0)
         rgb = cfg.w_rgb_tracking * losses.rgb_loss(out["render"], gt_image,
                                                    mask=mask)
         flow = cfg.w_flow_tracking * losses.flow_projection_loss(
             prev_depth, prev_w2c, out["render_w2c"], flow_fw_prev, cam,
             rigid_mask=rigid_mask)
-        return rgb + flow, (rgb, flow)
+        return rgb + flow, (rgb, flow, out.get("bins"))
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def body(i, carry):
-        pose, opt, _ = carry
-        (loss, (rgb, flow)), grads = grad_fn(pose)
+        pose, opt, _, bins_c = carry
+        rebin = (jnp.equal(i % cfg.rebin_tracking_every, 0)
+                 if amortize else None)
+        (loss, (rgb, flow, bins_c)), grads = grad_fn(pose, bins_c, rebin)
         # NaN guard (reference keeps similar guards in its losses,
         # scene/pose_optimizer.py:213-214): a single non-finite gradient
         # must not poison the pose for all remaining iterations.
@@ -145,11 +161,19 @@ def tracking_loop(field: GaussianField, quat0, trans0, gt_image, prev_depth,
         lr = tracking_lr(i, cfg.tracking_iters)
         upd, opt = adam_update(grads, opt, lr)
         pose = apply_updates(pose, upd)
-        return pose, opt, jnp.stack([loss, rgb, flow])
+        return pose, opt, jnp.stack([loss, rgb, flow]), bins_c
 
-    pose, _, last = jax.lax.fori_loop(
+    if amortize:
+        from ..ops.raster_pallas import zero_bin_state
+        from ..ops.render import raster_config
+        bins0 = zero_bin_state(
+            field.capacity,
+            raster_config(cam, cfg.max_instances, field.capacity, cfg.impl))
+    else:
+        bins0 = None
+    pose, _, last, _ = jax.lax.fori_loop(
         0, cfg.tracking_iters, body,
-        (pose0, opt0, jnp.zeros(3, jnp.float32)))
+        (pose0, opt0, jnp.zeros(3, jnp.float32), bins0))
     return pose["q"], pose["t"], {"loss": last[0], "rgb_loss": last[1],
                                   "flow_loss": last[2]}
 
@@ -166,7 +190,7 @@ class MappingState(NamedTuple):
 
 
 def _render_view(field: GaussianField, w2c, cam, cfg, sh_degree, probe,
-                 mesh=None):
+                 mesh=None, bins=None, rebin=None):
     if mesh is not None:
         from ..parallel.sharded import render_sharded_full
         return render_sharded_full(
@@ -179,7 +203,7 @@ def _render_view(field: GaussianField, w2c, cam, cfg, sh_degree, probe,
                   field.logit_opacity, field.sh, w2c, cam,
                   active=field.active, probe2d=probe, sh_degree=sh_degree,
                   impl=cfg.impl, max_instances=cfg.max_instances,
-                  gs_grad=True, cam_grad=False)
+                  gs_grad=True, cam_grad=False, bins=bins, rebin=rebin)
 
 
 def mapping_chunk(state: MappingState,
@@ -209,15 +233,15 @@ def mapping_chunk(state: MappingState,
     Returns (state, aux) with last-iteration diagnostics.
     """
 
-    def one_iter(state: MappingState, cur_t):
+    def one_iter(state: MappingState, cur_t, bins_c=None, rebin=None):
         field, opt, iteration, key = (state.field, state.opt,
                                       state.iteration, state.key)
         key, k_kf, k_lp1, k_lp2 = jax.random.split(key, 4)
 
-        def view_loss(params, probe, t_idx, lp_key):
+        def view_loss(params, probe, t_idx, lp_key, bins=None, rb=None):
             f = field.replace(**params)
             out = _render_view(f, w2c_all[t_idx], cam, cfg, sh_degree,
-                               probe, mesh=mesh)
+                               probe, mesh=mesh, bins=bins, rebin=rb)
             gt = jax.lax.dynamic_index_in_dim(colors_all, t_idx, 0, False)
             mono = jax.lax.dynamic_index_in_dim(monodeps_all, t_idx, 0,
                                                 False)
@@ -256,7 +280,8 @@ def mapping_chunk(state: MappingState,
 
             def total_loss(params, probe):
                 l0, out0 = view_loss(params, probe, kf_t, k_lp1)
-                l1, out1 = view_loss(params, None, cur_t, k_lp2)
+                l1, out1 = view_loss(params, None, cur_t, k_lp2,
+                                     bins_c, rebin)
                 return l0 + l1, (out0, out1)
 
             (loss, (out0, out1)), grads = jax.value_and_grad(
@@ -266,7 +291,8 @@ def mapping_chunk(state: MappingState,
             cur_out = out1
         else:
             def total_loss(params, probe):
-                l, out = view_loss(params, probe, cur_t, k_lp1)
+                l, out = view_loss(params, probe, cur_t, k_lp1,
+                                   bins_c, rebin)
                 return l, out
 
             (loss, out), grads = jax.value_and_grad(
@@ -277,6 +303,13 @@ def mapping_chunk(state: MappingState,
 
         iteration = iteration + 1
 
+        # NaN guard, same rationale as the tracking loop's: a single
+        # non-finite gradient (degenerate view, numerical edge) must not
+        # poison the whole field for the rest of the chunk.
+        pgrads, probe_grad = jax.tree.map(
+            lambda g: jnp.where(jnp.isfinite(g), g, 0.0),
+            (pgrads, probe_grad))
+
         # densification statistics from the stats view (train.py:261-263,
         # 297-303)
         field = add_render_stats(field, probe_grad, stats_out["radii"],
@@ -285,6 +318,7 @@ def mapping_chunk(state: MappingState,
         upd, opt = adam_update(pgrads, opt, cfg.mapping_lrs(iteration))
         field = field.replace(**apply_updates(params, upd))
 
+        did_surgery = jnp.bool_(False)
         if densify_enabled:
             key, k_dens = jax.random.split(key)
 
@@ -295,14 +329,20 @@ def mapping_chunk(state: MappingState,
                     use_screen_size=iteration > cfg.size_threshold_from
                 )[:2]
 
+            densify_now = ((iteration % cfg.densify_interval == 0)
+                           & (iteration < cfg.densify_until))
             field, opt = jax.lax.cond(
-                (iteration % cfg.densify_interval == 0)
-                & (iteration < cfg.densify_until),
-                do_densify, lambda a: a, (field, opt))
+                densify_now, do_densify, lambda a: a, (field, opt))
 
             field, opt = jax.lax.cond(
                 iteration % cfg.opacity_reset_interval == 0,
                 lambda a: reset_opacity(*a), lambda a: a, (field, opt))
+            # Densify moves gaussians between slots; a reused BinState
+            # would index the wrong data. Opacity reset only shrinks
+            # coverage (stale instances mask exactly) but is grouped in
+            # for simplicity — both are rare (every 300 / 3000 iters).
+            did_surgery = densify_now | (
+                iteration % cfg.opacity_reset_interval == 0)
 
         pred_depths = jax.lax.dynamic_update_index_in_dim(
             state.pred_depths, cur_out["render_dep"], cur_t, 0)
@@ -311,10 +351,36 @@ def mapping_chunk(state: MappingState,
             cur_t, 0)
         new_state = MappingState(field, opt, iteration, key, pred_depths,
                                  pred_colors)
-        return new_state, jnp.stack([loss, cur_out["overflow"]
-                                     .astype(jnp.float32)])
+        diag = jnp.stack([loss, cur_out["overflow"].astype(jnp.float32)])
+        return new_state, diag, cur_out.get("bins"), did_surgery
 
-    state, diag = jax.lax.scan(one_iter, state, cur_ts)
+    amortize = (cfg.rebin_every > 1 and mesh is None
+                and cfg.impl != "oracle")
+    if amortize:
+        from ..ops.raster_pallas import zero_bin_state
+        from ..ops.render import raster_config
+        cap = state.field.capacity
+        bins0 = zero_bin_state(
+            cap, raster_config(cam, cfg.max_instances, cap, cfg.impl))
+
+        def scan_body(carry, x):
+            st, bins_c, prev_t, force = carry
+            cur_t, k = x
+            rebin = (force | (cur_t != prev_t)
+                     | (k % cfg.rebin_every == 0))
+            st, diag, new_bins, surgery = one_iter(st, cur_t, bins_c,
+                                                   rebin)
+            return (st, new_bins, cur_t, surgery), diag
+
+        (state, _, _, _), diag = jax.lax.scan(
+            scan_body, (state, bins0, jnp.int32(-1), jnp.bool_(True)),
+            (cur_ts, jnp.arange(cur_ts.shape[0], dtype=jnp.int32)))
+    else:
+        def scan_body(carry, cur_t):
+            st, diag, _, _ = one_iter(carry, cur_t)
+            return st, diag
+
+        state, diag = jax.lax.scan(scan_body, state, cur_ts)
     aux = {"loss": diag[-1, 0], "overflow_max": jnp.max(diag[:, 1]),
            "iteration": state.iteration,
            "num_active": state.field.num_active}

@@ -295,6 +295,8 @@ class Trainer:
                 self.keyframes.append(t)
                 self._maybe_grow(every=5)
                 metrics.update({k: aux[k] for k in ("loss", "num_active")})
+                if float(aux.get("nonfinite_grads", 0.0)) > 0:
+                    metrics["nonfinite_grads"] = aux["nonfinite_grads"]
                 if self.panel_fn is not None and t % self.panel_every == 0:
                     self._emit_panel(t)
             self.history.append({"stage": "progressive", "frame": t,
@@ -346,10 +348,12 @@ class Trainer:
                 self.save(f"{self.checkpoint_dir}/ckpt_{done:07d}")
             if done % 1000 < self.global_chunk:
                 self._check_overflow(aux)
+                nf = float(aux.get("nonfinite_grads", 0.0))
                 self.log_fn(
                     f"[global {done}/{iters}] loss={float(aux['loss']):.4f}"
                     f" active={int(aux['num_active'])}"
-                    f" ({time.time() - t0:.1f}s)")
+                    + (f" NONFINITE_GRADS={nf:.0f}" if nf > 0 else "")
+                    + f" ({time.time() - t0:.1f}s)")
             self.history.append({"stage": "global", "iter": done,
                                  "loss": float(aux["loss"]),
                                  "num_active": int(aux["num_active"])})

@@ -305,7 +305,12 @@ def mapping_chunk(state: MappingState,
 
         # NaN guard, same rationale as the tracking loop's: a single
         # non-finite gradient (degenerate view, numerical edge) must not
-        # poison the whole field for the rest of the chunk.
+        # poison the whole field for the rest of the chunk. The count is
+        # surfaced in the chunk diagnostics so a live run shows WHERE
+        # numerical trouble starts instead of silently training through it.
+        nonfinite = sum(
+            jnp.sum(~jnp.isfinite(g)) for g in jax.tree.leaves(
+                (pgrads, probe_grad))).astype(jnp.float32)
         pgrads, probe_grad = jax.tree.map(
             lambda g: jnp.where(jnp.isfinite(g), g, 0.0),
             (pgrads, probe_grad))
@@ -351,7 +356,8 @@ def mapping_chunk(state: MappingState,
             cur_t, 0)
         new_state = MappingState(field, opt, iteration, key, pred_depths,
                                  pred_colors)
-        diag = jnp.stack([loss, cur_out["overflow"].astype(jnp.float32)])
+        diag = jnp.stack([loss, cur_out["overflow"].astype(jnp.float32),
+                          nonfinite])
         return new_state, diag, cur_out.get("bins"), did_surgery
 
     amortize = (cfg.rebin_every > 1 and mesh is None
@@ -382,6 +388,7 @@ def mapping_chunk(state: MappingState,
 
         state, diag = jax.lax.scan(scan_body, state, cur_ts)
     aux = {"loss": diag[-1, 0], "overflow_max": jnp.max(diag[:, 1]),
+           "nonfinite_grads": jnp.sum(diag[:, 2]),
            "iteration": state.iteration,
            "num_active": state.field.num_active}
     return state, aux

@@ -329,7 +329,18 @@ class Trainer:
             timer.start()
             self._update_sh_degree()
             n = min(self.global_chunk, iters - done)
-            ts = jnp.asarray(rng.choice(i_train, size=n), jnp.int32)
+            ts_np = rng.choice(i_train, size=n)
+            if self.cfg.rebin_every > 1:
+                # Group the chunk's random frame visits into runs of the
+                # same frame so the binning-layout carry (BinState) pays
+                # off in the global stage too (a frame change forces a
+                # rebin). Each chunk still visits the same random
+                # multiset of frames — only the within-chunk order
+                # changes, turning i.i.d. sampling into a shuffled-epoch
+                # style sweep; quality parity is covered by
+                # tests/test_bin_reuse.py.
+                ts_np = np.sort(ts_np)
+            ts = jnp.asarray(ts_np, jnp.int32)
             kf_pad = jnp.zeros((self.num_frames,), jnp.int32)
             self.state, aux = self._mapping(
                 self.state, self.colors, self.monodeps, w2c_all,

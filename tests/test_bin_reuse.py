@@ -179,3 +179,55 @@ def test_tracking_amortized_rebin_converges():
     assert np.isfinite(float(metrics["loss"]))
     assert dt1 < 0.55 * dt0, (dt0, dt1)
     assert dq1 < 0.8 * dq0 + 1e-4, (dq0, dq1)
+
+
+def test_global_stage_frame_grouping_quality():
+    """The global stage groups each chunk's random frame visits into runs
+    (train/loop.py) so the BinState carry pays off. Sorted-run visiting
+    order with rebin_every=8 must train as well as i.i.d. order with
+    rebin_every=1."""
+    from freesurgs_tpu.data.synthetic import make_scene as make_video
+    from freesurgs_tpu.train.optim import adam_init
+    from freesurgs_tpu.train.steps import (MappingState, TrainConfig,
+                                           make_jitted_mapping)
+    from freesurgs_tpu.ops.render import render as rnd
+    from test_training_steps import field_from_scene
+
+    scene = make_video(num_frames=3, n_gaussians=300, height=64, width=80)
+    rng = np.random.default_rng(3)
+    ts = rng.choice(3, size=36)
+
+    def run(order, rebin_every):
+        field = field_from_scene(scene, perturb=0.01)
+        cfg = TrainConfig(max_instances=8192, impl="pallas_interpret",
+                          rebin_every=rebin_every)
+        opt = adam_init(field.param_dict())
+        mapping = make_jitted_mapping(scene.cam, cfg)
+        T, H, W = 3, scene.cam.height, scene.cam.width
+        st = MappingState(field, opt, jnp.int32(0), jax.random.PRNGKey(0),
+                          jnp.zeros((T, H, W)), jnp.zeros((T, 3, H, W)))
+        st2, aux = mapping(
+            st, scene.colors, scene.monodeps, scene.gt_w2c,
+            jnp.asarray(order, jnp.int32), jnp.zeros((2,), jnp.int32),
+            jnp.int32(1), cam=scene.cam, cfg=cfg, two_views=False,
+            sh_degree=0, densify_enabled=False)
+        f = st2.field
+        ps = []
+        for t in range(3):
+            out = rnd(f.means, f.quats, f.log_scales, f.logit_opacity,
+                      f.sh, scene.gt_w2c[t], scene.cam, active=f.active,
+                      impl="pallas_interpret", max_instances=8192)
+            mse = jnp.mean((jnp.clip(out["render"], 0, 1)
+                            - scene.colors[t]) ** 2)
+            ps.append(float(-10 * jnp.log10(mse)))
+        assert np.isfinite(float(aux["loss"]))
+        return np.mean(ps)
+
+    p_iid = run(ts, 1)
+    p_grouped = run(np.sort(ts), 8)
+    # Measured attribution on this fixture (36 iters, 3 frames, ~47 dB —
+    # an already-converged micro-regime that amplifies recency): visit
+    # order costs ~0.4 dB, layout staleness ~0.45 dB. Gate at 1 dB:
+    # catches real regressions (wrong bins would cost tens of dB) while
+    # tolerating the documented small effects.
+    assert p_grouped > p_iid - 1.0, (p_iid, p_grouped)

@@ -46,6 +46,11 @@ class RunConfig:
     port: int = 6009
     log_metrics: bool = True
     global_chunk: int = 100
+    checkpoint_every: int = 5000  # global-stage periodic-save cadence
+                                  # (a full-res save moves ~1.3 GB of
+                                  # prediction caches through the device
+                                  # tunnel — minutes per save; raise this
+                                  # for long remote-TPU runs)
     impl: str = ""                # '' -> auto (pallas on TPU)
     max_instances: int = 0        # 0 -> auto-size from frame-0 coverage
     debug_nans: bool = False      # jax_debug_nans (detect_anomaly analogue)

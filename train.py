@@ -51,6 +51,7 @@ def main(argv=None):
         init_mask_frac=cfg.model.init_mask_frac,
         capacity=cfg.model.capacity or None, seed=cfg.run.seed,
         log_fn=logger.info, checkpoint_dir=cfg.run.model_path,
+        checkpoint_every=cfg.run.checkpoint_every,
         panel_fn=logger.log_image)
 
     if cfg.run.visualize:

@@ -403,13 +403,26 @@ class Trainer:
     # ------------------------------------------------------- persistence
     def save(self, path: str):
         from ..io.checkpoint import save_checkpoint
-        save_checkpoint(path, self.capture(), int(self.state.iteration),
-                        meta=self._shape_meta())
+        save_checkpoint(path, self._ckpt_tree(self.capture()),
+                        int(self.state.iteration), meta=self._shape_meta())
 
     def capture(self):
         return {"state": self.state, "poses": self.poses,
                 "keyframes": np.asarray(self.keyframes, np.int64),
                 "active_sh_degree": self.active_sh_degree}
+
+    @staticmethod
+    def _ckpt_tree(cap):
+        """Checkpoint layout: the per-frame prediction caches (the bulk of
+        a full-res checkpoint, ~1.3 GB at 60x1280x1024 — minutes through a
+        remote-TPU tunnel) are stored bf16. They are rendered-depth/color
+        CACHES consumed by the next tracking step and the panels; bf16
+        costs ~3 decimal digits only on the first post-restore tracking
+        step, after which live f32 renders repopulate them."""
+        st = cap["state"]
+        st = st._replace(pred_depths=st.pred_depths.astype(jnp.bfloat16),
+                         pred_colors=st.pred_colors.astype(jnp.bfloat16))
+        return {**cap, "state": st}
 
     def _shape_meta(self) -> dict:
         return {"capacity": self.field.capacity,
@@ -468,7 +481,11 @@ class Trainer:
                         max_instances=meta["max_instances"])
                     self._mapping = make_jitted_mapping(self.cam, self.cfg)
                     self._tracking = make_jitted_tracking(self.cam, self.cfg)
-        restored, _ = restore_checkpoint(path, template=self.capture())
+        restored, _ = restore_checkpoint(
+            path, template=self._ckpt_tree(self.capture()))
+        restored["state"] = restored["state"]._replace(
+            pred_depths=restored["state"].pred_depths.astype(jnp.float32),
+            pred_colors=restored["state"].pred_colors.astype(jnp.float32))
         self.state = jax.tree.map(jnp.asarray, restored["state"])
         self.poses = jax.tree.map(jnp.asarray, restored["poses"])
         self.keyframes = [int(k) for k in restored["keyframes"]]

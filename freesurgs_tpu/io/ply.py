@@ -21,8 +21,12 @@ def field_to_ply(field: GaussianField, path: str):
     act = np.asarray(field.active)
     xyz = np.asarray(field.means)[act]
     n = xyz.shape[0]
-    f_dc = np.asarray(field.sh_dc)[act].transpose(0, 2, 1).reshape(n, -1)
-    f_rest = np.asarray(field.sh_rest)[act].transpose(0, 2, 1).reshape(n, -1)
+    dc = np.asarray(field.sh_dc)[act]
+    rest = np.asarray(field.sh_rest)[act]
+    # explicit widths: reshape(n, -1) is ill-defined when n == 0 (a fully
+    # pruned field must still export a valid, empty PLY)
+    f_dc = dc.transpose(0, 2, 1).reshape(n, dc.shape[1] * 3)
+    f_rest = rest.transpose(0, 2, 1).reshape(n, rest.shape[1] * 3)
     opac = np.asarray(field.logit_opacity)[act][:, None]
     scale = np.asarray(field.log_scales)[act]
     rot = np.asarray(field.quats)[act]

@@ -56,10 +56,16 @@ def test_multiseq_equals_individual():
     got = unstack_states(out, 2)
 
     for g, e in zip(got, expected):
+        # atol: shard_map vs single-device compilation reassociates f32
+        # reductions; Adam's m/sqrt(v) normalization amplifies near-zero
+        # gradient ulps into updates of a fraction of lr (observed up to
+        # 8e-5 on logit_opacity after 4 steps). This asserts no cross-shard
+        # COUPLING (which would show O(lr..1) = O(0.05+) errors), not
+        # bitwise determinism.
         np.testing.assert_allclose(np.asarray(g.field.means),
-                                   np.asarray(e.field.means), atol=1e-5)
+                                   np.asarray(e.field.means), atol=1e-4)
         np.testing.assert_allclose(np.asarray(g.field.logit_opacity),
                                    np.asarray(e.field.logit_opacity),
-                                   atol=1e-5)
+                                   atol=1e-3)
         assert int(g.iteration) == int(e.iteration) == 4
     assert aux["loss"].shape == (2,)

@@ -106,10 +106,17 @@ def _tri_incl(dtype=jnp.float32):
 
 
 def _tile_pixels(t, grid_x, bin_tile):
-    """Pixel coords (pixx, pixy, p16x, p16y), each (npix, 1), of tile t.
+    """Per-pixel/quadrant data of tile t (row-major pixel order).
 
-    Row-major within the tile; p16* are the pixel's 16px-tile coords used
-    for the bin_tile>16 rect mask.
+    Returns (pixx, pixy, q16) with pixx/pixy (npix, 1) f32 pixel coords
+    and q16 the rect-mask helper for bin_tile > 16: the pixel's 16px-tile
+    coordinate takes only ``bin_scale`` distinct values per axis, so the
+    rect compares can run at quadrant granularity ((1, C) rows) and be
+    blended per pixel with one select per axis instead of full-size int
+    compares (measured ~2.3 ms/kernel at the bench config —
+    scripts/kernel_ablate.py "nomask"). q16 = (qx_hi, qy_hi, x16_lo,
+    y16_lo): boolean (npix, 1) "pixel is in the high quadrant half" masks
+    plus the LOW quadrant's scalar 16px-tile coords.
     """
     npix = bin_tile * bin_tile
     ty = t // grid_x
@@ -117,8 +124,14 @@ def _tile_pixels(t, grid_x, bin_tile):
     p = jax.lax.broadcasted_iota(jnp.int32, (npix, 1), 0)
     ix = tx * bin_tile + p % bin_tile
     iy = ty * bin_tile + p // bin_tile
-    return (ix.astype(jnp.float32), iy.astype(jnp.float32),
-            ix // TILE, iy // TILE)   # p16* stay int32 (rect compare)
+    if bin_tile > TILE:
+        assert bin_tile == 2 * TILE, "quadrant mask assumes bin_scale == 2"
+        qx_hi = (p % bin_tile) >= TILE
+        qy_hi = (p // bin_tile) >= TILE
+        q16 = (qx_hi, qy_hi, 2 * tx, 2 * ty)
+    else:
+        q16 = None
+    return ix.astype(jnp.float32), iy.astype(jnp.float32), q16
 
 
 def _matmul(a, b, contract, precision=jax.lax.Precision.HIGHEST):
@@ -157,13 +170,16 @@ def _cumsum_mm(x, tri):
     return mm(hi) + mm(mid) + mm(lo)
 
 
-def _chunk_alpha(f, pixx, pixy, p16x=None, p16y=None):
+def _chunk_alpha(f, pixx, pixy, q16=None):
     """Per-chunk alpha evaluation shared by fwd/bwd.
 
     f: (FEAT_DIM, CHUNK) block. Returns (npix, CHUNK) arrays.
     Padding slots have opacity 0, hence abar 0 — no masking needed.
-    p16x/p16y non-None => mask against the 16px rect in rows 10..13
-    (bin_tile > 16 mode).
+    q16 non-None => mask against the 16px rect in row 10 (bin_tile > 16
+    mode). The pixel's 16px-tile coordinate is constant per 16x16
+    quadrant, so the 8 rect compares run on (1, C) rows and only the
+    per-axis quadrant BLEND touches full (npix, C) arrays (2 selects +
+    1 and, vs 4 compares + 3 ands + index construction before).
     """
     mx, my = f[0:1, :], f[1:2, :]
     ca, cb, cc = f[2:3, :], f[3:4, :], f[4:5, :]
@@ -175,11 +191,26 @@ def _chunk_alpha(f, pixx, pixy, p16x=None, p16y=None):
     raw = opac * expp
     alpha = jnp.minimum(ALPHA_MAX, raw)
     ok = (power <= 0.0) & (alpha >= ALPHA_MIN)
-    if p16x is not None:
-        ri = jax.lax.bitcast_convert_type(f[10:11, :], jnp.int32)
-        ok &= ((p16x >= (ri & 0xFF)) & (p16x < ((ri >> 16) & 0xFF))
-               & (p16y >= ((ri >> 8) & 0xFF)) & (p16y < ((ri >> 24) & 0xFF)))
     abar = jnp.where(ok, alpha, 0.0)
+    if q16 is not None:
+        qx_hi, qy_hi, x16_lo, y16_lo = q16
+        ri = jax.lax.bitcast_convert_type(f[10:11, :], jnp.int32)
+        # (1, C) per-quadrant rect tests (lo/hi 16px-tile per axis), as
+        # exact {0, 1} f32 so the per-pixel blend is selects + one
+        # multiply (Mosaic cannot select between i1 vectors); abar * 1.0
+        # == abar and abar * 0.0 == 0.0 make this bit-identical to a
+        # boolean mask.
+        def in_x(v):
+            return ((v >= (ri & 0xFF)) & (v < ((ri >> 16) & 0xFF))
+                    ).astype(jnp.float32)
+
+        def in_y(v):
+            return ((v >= ((ri >> 8) & 0xFF)) & (v < ((ri >> 24) & 0xFF))
+                    ).astype(jnp.float32)
+
+        rect = (jnp.where(qx_hi, in_x(x16_lo + 1), in_x(x16_lo))
+                * jnp.where(qy_hi, in_y(y16_lo + 1), in_y(y16_lo)))
+        abar = abar * rect
     return abar, raw, expp, dx, dy, ok
 
 
@@ -263,14 +294,11 @@ def _chunk_channels(f):
 def _fwd_kernel(grid_x: int, bin_tile: int, starts_ref, counts_ref, feat_hbm,
                 out_ref, keff_ref, buf, sems, acc_s, logT_s, done_s):
     npix = bin_tile * bin_tile
-    masked = bin_tile > TILE
     t = pl.program_id(0)
     start = starts_ref[t]
     count = counts_ref[t]
     n_chunks = pl.cdiv(count, CHUNK)
-    pixx, pixy, p16x, p16y = _tile_pixels(t, grid_x, bin_tile)
-    if not masked:
-        p16x = p16y = None
+    pixx, pixy, q16 = _tile_pixels(t, grid_x, bin_tile)
     tri = _tri_incl()
 
     # Accumulators live in VMEM scratch (persisting vreg loop carries is
@@ -310,7 +338,7 @@ def _fwd_kernel(grid_x: int, bin_tile: int, starts_ref, counts_ref, feat_hbm,
         @pl.when(keff_ref[t] == 0)
         def _():
             f = buf[slot]
-            abar, _, _, _, _, _ = _chunk_alpha(f, pixx, pixy, p16x, p16y)
+            abar, _, _, _, _, _ = _chunk_alpha(f, pixx, pixy, q16)
             w, _, _, _, log_T, done = _chunk_weights(
                 abar, logT_s[:, :], done_s[:, :] > 0.0, tri)
             cf8 = _chunk_channels(f)                      # (N_OUT, CHUNK)
@@ -375,15 +403,12 @@ def _bwd_kernel(grid_x: int, bin_tile: int, starts_ref, counts_ref, keff_ref,
                 feat_hbm, out_saved_ref, gout_ref, dfeat_hbm, buf, dbuf,
                 sems, wsems, logT_s, done_s, gcarry_s):
     npix = bin_tile * bin_tile
-    masked = bin_tile > TILE
     t = pl.program_id(0)
     start = starts_ref[t]
     count = counts_ref[t]
     n_chunks = pl.cdiv(count, CHUNK)
     keff = keff_ref[t]   # chunks the forward composited (early termination)
-    pixx, pixy, p16x, p16y = _tile_pixels(t, grid_x, bin_tile)
-    if not masked:
-        p16x = p16y = None
+    pixx, pixy, q16 = _tile_pixels(t, grid_x, bin_tile)
     tri = _tri_incl()
     Pb, ox, oy = _pixel_basis(pixx, pixy, t, grid_x, bin_tile)
 
@@ -401,6 +426,13 @@ def _bwd_kernel(grid_x: int, bin_tile: int, starts_ref, counts_ref, keff_ref,
             buf.at[slot], sems.at[slot])
 
     def put_dma(slot, k):
+        # dfeat keeps the (FEAT_DIM, M) fields-major layout: Mosaic
+        # lane-pads any (M, 16) array to (M, 128) — even in HBM — making
+        # 16-lane DMA slices illegal ("slice shape along dimension 1 must
+        # be aligned to tiling (128)"), so a transposed store layout is
+        # not expressible without 8x padded traffic + per-chunk (128,128)
+        # transposes that cost more than the XLA-side transpose they'd
+        # replace.
         off = pl.multiple_of(start + k * CHUNK, CHUNK)
         return pltpu.make_async_copy(
             dbuf.at[slot], dfeat_hbm.at[:, pl.ds(off, CHUNK)],
@@ -432,8 +464,7 @@ def _bwd_kernel(grid_x: int, bin_tile: int, starts_ref, counts_ref, keff_ref,
         def _():
             get_dma(slot, k).wait()
             f = buf[slot]
-            abar, raw, expp, dx, dy, _ = _chunk_alpha(f, pixx, pixy,
-                                                      p16x, p16y)
+            abar, raw, expp, dx, dy, _ = _chunk_alpha(f, pixx, pixy, q16)
             w, T_pre, valid, abar, log_T, done = _chunk_weights(
                 abar, logT_s[:, :], done_s[:, :] > 0.0, tri)
             logT_s[:, :] = log_T
@@ -618,8 +649,8 @@ class BinState(NamedTuple):
     num_instances: jnp.ndarray  # () kept instances at bin time
     overflow: jnp.ndarray       # () dropped at bin time
     pos: jnp.ndarray            # (M,) pre-slot -> layout pos (fast binning)
-    offsets: jnp.ndarray        # (N,) inclusive count cumsum, depth order
-    order: jnp.ndarray          # (N,) depth rank -> gaussian index
+    seg_lo: jnp.ndarray         # (N,) gaussian -> first pre-slot (clamped)
+    seg_hi: jnp.ndarray         # (N,) gaussian -> one-past-last pre-slot
     bin_rect: jnp.ndarray       # (N, 4) coarse bin rect at bin time
 
 
@@ -628,14 +659,14 @@ def _bin_state(projb: ProjectedGaussians, cfg: RasterConfig) -> BinState:
     if cfg.fast_binning:
         bins, aux = build_tile_bins_fast(projb, cfg.grid_x, cfg.grid_y,
                                          cfg.max_instances, return_aux=True)
-        pos, offsets, order = aux.pos, aux.offsets, aux.order
+        pos, seg_lo, seg_hi = aux.pos, aux.seg_lo, aux.seg_hi
     else:
         bins = build_tile_bins(projb, cfg.grid_x, cfg.grid_y,
                                cfg.max_instances)
-        pos = offsets = order = jnp.zeros((0,), jnp.int32)
+        pos = seg_lo = seg_hi = jnp.zeros((0,), jnp.int32)
     return BinState(bins.gather_idx, bins.tile_start, bins.tile_count,
                     bins.num_instances, bins.overflow,
-                    pos, offsets, order, projb.tile_rect)
+                    pos, seg_lo, seg_hi, projb.tile_rect)
 
 
 def compute_bin_state(proj: ProjectedGaussians, opacity: jnp.ndarray,
@@ -687,7 +718,6 @@ def _make_composite(cfg: RasterConfig):
     def _composite_bwd(res, gout):
         feat, meta, keff, bins, out_saved, n = res
         dfeat = _run_bwd(feat, meta, keff, out_saved, gout, cfg)
-        m = cfg.max_instances
         if cfg.fast_binning:
             aux = bins
             # Contiguous-run segment reduction (see BinAux): in pre-slot
@@ -698,20 +728,16 @@ def _make_composite(cfg: RasterConfig):
             # scatter-adds (~21 ms at M=393k; each M-sized pass costs the
             # same ~15 ns/element floor). Rows 10+ of dfeat carry no
             # gradient (rect mask is a hard cutoff, like CUDA binning).
+            # seg_lo/seg_hi are already clamped AND in original gaussian
+            # order (unscrambled once at bin time), so the per-call tail
+            # is exactly two N-row gathers into the fresh prefix sums.
             dpad = jnp.concatenate(
                 [dfeat[:10].T, jnp.zeros((1, 10), jnp.float32)], axis=0)
             pre = dpad[aux.pos]                       # (M, 10) pre-slot
             csum = jnp.concatenate(
                 [jnp.zeros((1, 10), jnp.float32),
                  jnp.cumsum(pre, axis=0)], axis=0)    # (M+1, 10)
-            o1 = jnp.minimum(aux.offsets, m)
-            o0 = jnp.minimum(
-                jnp.concatenate([jnp.zeros(1, aux.offsets.dtype),
-                                 aux.offsets[:-1]]), m)
-            seg = csum[o1] - csum[o0]                 # (n, 10) depth order
-            inv = jnp.zeros((n,), jnp.int32).at[aux.order].set(
-                jnp.arange(n, dtype=jnp.int32))
-            dsrc = seg[inv]                           # (n, 10)
+            dsrc = csum[aux.seg_hi] - csum[aux.seg_lo]  # (n, 10)
         else:
             # Column-wise 1-D segment sums: a single (M, 16) row-windowed
             # scatter-add serializes in the TPU lowering (orders of

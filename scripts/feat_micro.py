@@ -110,14 +110,7 @@ def main():
         csum = jnp.concatenate(
             [jnp.zeros((1, 10), jnp.float32),
              jnp.cumsum(pre, axis=0)], axis=0)
-        o1 = jnp.minimum(bins.offsets, MAXI)
-        o0 = jnp.minimum(
-            jnp.concatenate([jnp.zeros(1, bins.offsets.dtype),
-                             bins.offsets[:-1]]), MAXI)
-        seg = csum[o1] - csum[o0]
-        inv = jnp.zeros((N,), jnp.int32).at[bins.order].set(
-            jnp.arange(N, dtype=jnp.int32))
-        return jnp.sum(seg[inv])
+        return jnp.sum(csum[bins.seg_hi] - csum[bins.seg_lo])
 
     t = timed(reduction, dfeat)
     print(f"bwd gaussian reduction alone: {t:7.2f} ms")

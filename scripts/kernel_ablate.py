@@ -86,7 +86,7 @@ def make_variant(name, noexp=False, nolog1p=False, noTexp=False,
     orig_weights = rp._chunk_weights
     orig_cumsum = rp._cumsum_mm
 
-    def chunk_alpha(f, pixx, pixy, p16x=None, p16y=None):
+    def chunk_alpha(f, pixx, pixy, q16=None):
         mx, my = f[0:1, :], f[1:2, :]
         ca, cb, cc = f[2:3, :], f[3:4, :], f[4:5, :]
         opacr = f[5:6, :]
@@ -97,12 +97,22 @@ def make_variant(name, noexp=False, nolog1p=False, noTexp=False,
         raw = opacr * expp
         alpha = jnp.minimum(rp.ALPHA_MAX, raw)
         ok = (power <= 0.0) & (alpha >= rp.ALPHA_MIN)
-        if p16x is not None and not nomask:
-            ri = jax.lax.bitcast_convert_type(f[10:11, :], jnp.int32)
-            ok &= ((p16x >= (ri & 0xFF)) & (p16x < ((ri >> 16) & 0xFF))
-                   & (p16y >= ((ri >> 8) & 0xFF))
-                   & (p16y < ((ri >> 24) & 0xFF)))
         abar = jnp.where(ok, alpha, 0.0)
+        if q16 is not None and not nomask:
+            qx_hi, qy_hi, x16_lo, y16_lo = q16
+            ri = jax.lax.bitcast_convert_type(f[10:11, :], jnp.int32)
+
+            def in_x(v):
+                return ((v >= (ri & 0xFF)) & (v < ((ri >> 16) & 0xFF))
+                        ).astype(jnp.float32)
+
+            def in_y(v):
+                return ((v >= ((ri >> 8) & 0xFF))
+                        & (v < ((ri >> 24) & 0xFF))).astype(jnp.float32)
+
+            rect = (jnp.where(qx_hi, in_x(x16_lo + 1), in_x(x16_lo))
+                    * jnp.where(qy_hi, in_y(y16_lo + 1), in_y(y16_lo)))
+            abar = abar * rect
         return abar, raw, expp, dx, dy, ok
 
     def cumsum_mm(x, tri):

@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""BASELINE configs 3-4 end-to-end run with a wall-clock budget.
+
+Runs the reference schedule (progressive tracking+mapping per frame, then
+the global refinement stage — reference ``train.py:318-443``) on the
+full-res synthetic SCARED stand-in from scripts/make_fullres_dataset.py,
+time-boxing the global stage so the run completes inside a bounded
+session. The global stage runs in chunks and stops when the budget is
+exhausted; the summary records the iterations actually completed, the
+stage wall-clocks, and the final validation metrics (PSNR/SSIM/LPIPS +
+sim(3)-aligned ATE/RPE, reference ``train.py:446-515``) as one JSON file
+for BASELINE.md.
+
+Usage:
+  python scripts/run_config34.py --data /tmp/fullres --out /tmp/cfg34 \
+      [--budget_s 1500] [--global_iters 6000] [--rebin_every 4]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", default="/tmp/fullres")
+    ap.add_argument("--out", default="/tmp/cfg34")
+    ap.add_argument("--frames", type=int, default=46)
+    ap.add_argument("--budget_s", type=float, default=1500.0,
+                    help="total training wall-clock budget (progressive + "
+                         "global); the global stage is cut to fit")
+    ap.add_argument("--global_iters", type=int, default=6000)
+    ap.add_argument("--global_chunk", type=int, default=250)
+    ap.add_argument("--rebin_every", type=int, default=4)
+    ap.add_argument("--save_ckpt", action="store_true",
+                    help="save the final checkpoint (large transfer "
+                         "through a tunneled device)")
+    args = ap.parse_args()
+
+    from freesurgs_tpu.data.scared import load_scared
+    from freesurgs_tpu.train.loop import Trainer
+    from freesurgs_tpu.train.steps import TrainConfig
+
+    os.makedirs(args.out, exist_ok=True)
+    seq = load_scared(args.data, 0, args.frames, sample_rate=8)
+    print(f"loaded {seq.num_frames} frames {seq.cam.width}x{seq.cam.height},"
+          f" {len(seq.i_train)} train / {len(seq.i_test)} test", flush=True)
+
+    cfg = TrainConfig(global_iters=args.global_iters,
+                      rebin_every=args.rebin_every)
+    trainer = Trainer(seq, cfg, global_chunk=args.global_chunk,
+                      log_fn=lambda m: print(m, flush=True),
+                      checkpoint_dir=None)
+
+    summary = {"frames": args.frames,
+               "rebin_every": args.rebin_every,
+               "init_active": int(trainer.field.num_active),
+               "capacity": int(trainer.field.capacity),
+               "max_instances": int(trainer.cfg.max_instances)}
+
+    t0 = time.time()
+    trainer.progressive_run()
+    summary["progressive_s"] = round(time.time() - t0, 1)
+    print(f"progressive done in {summary['progressive_s']}s", flush=True)
+
+    tg = time.time()
+    done = 0
+    while done < args.global_iters and time.time() - t0 < args.budget_s:
+        n = min(1000, args.global_iters - done)
+        trainer.global_run(n)
+        done += n
+    summary["global_s"] = round(time.time() - tg, 1)
+    summary["global_iters_done"] = done
+    summary["final_active"] = int(trainer.field.num_active)
+    summary["final_capacity"] = int(trainer.field.capacity)
+    summary["final_max_instances"] = int(trainer.cfg.max_instances)
+    print(f"global {done}/{args.global_iters} in {summary['global_s']}s",
+          flush=True)
+
+    if args.save_ckpt:
+        trainer.save(os.path.join(args.out, "ckpt_final"))
+
+    tv = time.time()
+    metrics = trainer.validation()
+    summary["validation_s"] = round(time.time() - tv, 1)
+    summary.update({k: (round(float(v), 5) if isinstance(v, float) else v)
+                    for k, v in metrics.items()
+                    if isinstance(v, (int, float))})
+    summary["total_s"] = round(time.time() - t0, 1)
+
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(summary), flush=True)
+
+
+if __name__ == "__main__":
+    main()

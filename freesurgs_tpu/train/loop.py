@@ -294,6 +294,11 @@ class Trainer:
                 aux = self._map_frame(t, n_it, two_views=(t > 0))
                 self.keyframes.append(t)
                 self._maybe_grow(every=5)
+                # per-mapped-frame: a full-res map can outgrow the
+                # instance buffer in < 10 frames (the cfg34 run overflowed
+                # unchecked between the 10-frame logging ticks); the aux
+                # scalar read costs one tunnel sync per mapped frame only
+                self._check_overflow(aux)
                 metrics.update({k: aux[k] for k in ("loss", "num_active")})
                 if float(aux.get("nonfinite_grads", 0.0)) > 0:
                     metrics["nonfinite_grads"] = aux["nonfinite_grads"]
@@ -313,8 +318,6 @@ class Trainer:
                     + " ".join(f"{k}={float(v):.4g}"
                                for k, v in metrics.items())
                     + f" ({time.time() - t0:.1f}s)")
-                if t in i_train:
-                    self._check_overflow(aux)
 
     def global_run(self, iters: int | None = None):
         iters = iters if iters is not None else self.cfg.global_iters

@@ -115,7 +115,10 @@ def render_sharded(mesh: Mesh, means3d, quats, log_scales, logit_opacity,
     # over replicated inputs) produces wrong parameter cotangents on
     # jax 0.9; with it disabled the replicated-input psum transpose is
     # correct (verified against the single-device renderer in
-    # tests/test_sharded.py::test_sharded_gradients_match).
+    # tests/test_sharded.py::test_sharded_gradients_match). Minimal
+    # standalone repro: scripts/vma_repro.py (the argsort+gather over a
+    # replicated operand is the trigger); version gate:
+    # tests/test_vma_regression.py.
     image6, final_T = jax.shard_map(
         band, mesh=mesh,
         in_specs=(rep,) * 8,

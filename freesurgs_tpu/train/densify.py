@@ -53,25 +53,6 @@ class DensifyStats(NamedTuple):
     num_active: jnp.ndarray
 
 
-def _slot_assign(free: jnp.ndarray, want: jnp.ndarray):
-    """Assign the k-th wanted item to the k-th free slot.
-
-    free, want: (C,) bool. Returns (dest_slot (C,), placed (C,)): for each
-    wanted source slot, the destination free slot (or C if dropped).
-    """
-    c = free.shape[0]
-    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1        # rank of slot
-    want_rank = jnp.cumsum(want.astype(jnp.int32)) - 1
-    n_free = jnp.sum(free)
-    # free_slots[k] = index of the k-th free slot
-    free_slots = jnp.full((c,), c, jnp.int32)
-    free_slots = free_slots.at[jnp.where(free, free_rank, c)].set(
-        jnp.arange(c, dtype=jnp.int32), mode="drop")
-    placed = want & (want_rank < n_free)
-    dest = jnp.where(placed, free_slots[jnp.clip(want_rank, 0, c - 1)], c)
-    return dest, placed
-
-
 def _scatter_rows(x: jnp.ndarray, dest: jnp.ndarray, src_rows: jnp.ndarray):
     """x[dest[i]] = src_rows[i] for dest[i] < C (mode=drop)."""
     return x.at[dest].set(src_rows, mode="drop")
@@ -153,7 +134,6 @@ def densify_and_prune(field: GaussianField, opt_state: AdamState,
     field = field.reset_stats()
 
     # ---- optimizer moment surgery: created + pruned slots -> zero moments.
-    touched = (~new_active & act) | jnp.zeros((c,), bool)
     created = jnp.zeros((c,), bool).at[dest3].set(placed3, mode="drop")
     opt_state = surgery_mask_moments(opt_state, created | prune_m)
 
@@ -182,12 +162,25 @@ def reset_opacity(field: GaussianField, opt_state: AdamState,
 
 
 def add_render_stats(field: GaussianField, probe_grad: jnp.ndarray,
-                     radii: jnp.ndarray, visibility: jnp.ndarray
+                     radii: jnp.ndarray, visibility: jnp.ndarray,
+                     grad_scale: jnp.ndarray | None = None
                      ) -> GaussianField:
     """Accumulate per-view densification statistics (reference
     ``add_densification_stats`` + max_radii2D update,
-    ``scene/gaussian_model.py:678-681``, ``train.py:299-303``)."""
+    ``scene/gaussian_model.py:678-681``, ``train.py:299-303``).
+
+    ``grad_scale``: per-axis scale applied to the screen-space gradient
+    before the norm. The reference's CUDA backward emits ``dL_dmean2D`` in
+    HALF-NDC units — the pixel-space gradient times (0.5*W, 0.5*H)
+    (upstream ``backward.cu`` renderCUDA: ``ddelx_dx = 0.5 * W``) — and
+    ``densify_grad_threshold = 2e-4`` is calibrated against THOSE units.
+    Our probe cotangent is in pixels, so callers must pass
+    (0.5*W, 0.5*H); comparing raw pixel gradients against 2e-4
+    under-densifies by ~W/2 (640x at SCARED full res).
+    """
     vis = visibility & field.active
+    if grad_scale is not None:
+        probe_grad = probe_grad * grad_scale
     gnorm = jnp.linalg.norm(probe_grad, axis=-1)
     return field.replace(
         grad_accum=field.grad_accum + jnp.where(vis, gnorm, 0.0),

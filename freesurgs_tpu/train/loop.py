@@ -136,8 +136,31 @@ class Trainer:
 
         self.keyframes: list[int] = []
         self.cur_frame = 0        # viewer anchor: most recent frame pose
+        # One continuing random stream for the global stage: chunked
+        # global_run() calls must NOT replay the same frame-sampling
+        # sequence (they did in round 2 — the rng was re-seeded per call).
+        self._global_rng = np.random.default_rng(self.seed + 1)
         self._mapping = make_jitted_mapping(self.cam, self.cfg)
         self._tracking = make_jitted_tracking(self.cam, self.cfg)
+        # Field-health probe (numerical diagnostics at logging cadence).
+        def health(f):
+            act = f.active
+            big = jnp.where(act, f.log_scales.max(1), -jnp.inf)
+            small = jnp.where(act, f.log_scales.min(1), jnp.inf)
+            nonfinite = sum(jnp.sum(~jnp.isfinite(x))
+                            for x in jax.tree.leaves(f.param_dict()))
+            return {
+                "max|xyz|": jnp.max(jnp.where(act[:, None], jnp.abs(f.means),
+                                              0.0)),
+                "logs_max": jnp.max(big),
+                "logs_min": jnp.min(small),
+                "opacl_max": jnp.max(jnp.where(act, f.logit_opacity,
+                                               -jnp.inf)),
+                "opacl_min": jnp.min(jnp.where(act, f.logit_opacity,
+                                               jnp.inf)),
+                "nonfinite_params": nonfinite,
+            }
+        self._health = jax.jit(health)
         self._rigidity = jax.jit(
             lambda poses, t1, t2, flow: posemod.epipolar_rigidity(
                 poses, t1, t2, flow, self.cam, self.K)[1])
@@ -188,12 +211,16 @@ class Trainer:
             new_m = -(-int((cur + ov) * 1.5) // 128) * 128
             new_m = min(new_m, self.cfg.max_instances_cap)
             if new_m <= cur:
-                # At the HBM-safety cap: keep training; per-tile drops are
-                # deepest-first, behind the T_EPS-saturating front splats,
-                # so the overflow loss is bounded and logged — not fatal.
-                self.log_fn(f"instance overflow {int(ov)} at the "
-                            f"max_instances cap {cur}: deepest instances "
-                            "drop (bounded by per-tile depth order)")
+                # At the HBM-safety cap: keep training, but be honest about
+                # what drops — the binner's layout is tile-major, so at the
+                # cap the instance buffer truncates SUFFIX TILES (bottom of
+                # the image renders background). Sustained overflow at the
+                # cap therefore corrupts training and must be fixed at the
+                # source (densify/prune balance), not absorbed here.
+                self.log_fn(f"WARNING: instance overflow {int(ov)} at the "
+                            f"max_instances cap {cur}: suffix tiles render "
+                            "EMPTY — quality is compromised while this "
+                            "persists")
                 return
             self.log_fn(f"instance overflow {int(ov)}: max_instances "
                         f"{cur} -> {new_m} (recompiling)")
@@ -207,6 +234,20 @@ class Trainer:
         if want > self.active_sh_degree:
             self.active_sh_degree = want
             self.log_fn(f"SH degree -> {want}")
+
+    def _report_nonfinite(self, aux, where: str):
+        """Log the per-group nonfinite-gradient attribution when a chunk
+        saw any (one host sync — only taken on the bad path)."""
+        if float(aux.get("nonfinite_grads", 0.0)) <= 0:
+            return
+        groups = {k: int(v) for k, v in aux["nonfinite_by_group"].items()
+                  if float(v) > 0}
+        h = {k: float(v) for k, v in self._health(self.field).items()}
+        self.log_fn(
+            f"NONFINITE grads at {where}: "
+            f"total={float(aux['nonfinite_grads']):.3g} "
+            f"first_iter={int(aux['first_nonfinite_iter'])} "
+            f"by_group={groups} health={ {k: round(v, 3) for k, v in h.items()} }")
 
     def _rigid_mask(self, t: int):
         if t <= 1:
@@ -300,8 +341,11 @@ class Trainer:
                 # scalar read costs one tunnel sync per mapped frame only
                 self._check_overflow(aux)
                 metrics.update({k: aux[k] for k in ("loss", "num_active")})
-                if float(aux.get("nonfinite_grads", 0.0)) > 0:
-                    metrics["nonfinite_grads"] = aux["nonfinite_grads"]
+                terms = aux.get("loss_terms")
+                if terms is not None:
+                    metrics["rgb"], metrics["pear"], metrics["lp"] = \
+                        terms[0], terms[1], terms[2]
+                self._report_nonfinite(aux, f"frame {t}")
                 if self.panel_fn is not None and t % self.panel_every == 0:
                     self._emit_panel(t)
             self.history.append({"stage": "progressive", "frame": t,
@@ -313,16 +357,19 @@ class Trainer:
             if t % 10 == 0:
                 # the float() conversions force a device sync — only at
                 # the logging cadence, not per frame
+                h = self._health(self.field)
                 self.log_fn(
                     f"[progressive {t}/{self.num_frames}] "
                     + " ".join(f"{k}={float(v):.4g}"
                                for k, v in metrics.items())
+                    + " | " + " ".join(f"{k}={float(v):.3g}"
+                                       for k, v in h.items())
                     + f" ({time.time() - t0:.1f}s)")
 
     def global_run(self, iters: int | None = None):
         iters = iters if iters is not None else self.cfg.global_iters
         i_train = np.asarray(self.seq.i_train, np.int64)
-        rng = np.random.default_rng(self.seed + 1)
+        rng = self._global_rng
         w2c_all = jax.lax.stop_gradient(self.poses.all_w2c())
         from ..utils.profiling import StepTimer
         timer = StepTimer(self.cam.height, self.cam.width)
@@ -362,12 +409,14 @@ class Trainer:
                 self.save(f"{self.checkpoint_dir}/ckpt_{done:07d}")
             if done % 1000 < self.global_chunk:
                 self._check_overflow(aux)
-                nf = float(aux.get("nonfinite_grads", 0.0))
+                terms = aux["loss_terms"]
                 self.log_fn(
                     f"[global {done}/{iters}] loss={float(aux['loss']):.4f}"
+                    f" rgb={float(terms[0]):.4f} pear={float(terms[1]):.4f}"
+                    f" lp={float(terms[2]):.4f}"
                     f" active={int(aux['num_active'])}"
-                    + (f" NONFINITE_GRADS={nf:.0f}" if nf > 0 else "")
                     + f" ({time.time() - t0:.1f}s)")
+                self._report_nonfinite(aux, f"global {done}")
             self.history.append({"stage": "global", "iter": done,
                                  "loss": float(aux["loss"]),
                                  "num_active": int(aux["num_active"])})
@@ -399,8 +448,9 @@ class Trainer:
             metrics.update(evaluate_subsequences(
                 pred_w2c, self.seq.gt_poses, self.seq.boundaries))
         self.log_fn("validation: " + " ".join(
-            f"{k}={v:.4f}" for k, v in metrics.items()
-            if isinstance(v, float)))
+            f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}"
+            for k, v in metrics.items()
+            if isinstance(v, (float, str))))
         return metrics
 
     # ------------------------------------------------------- persistence

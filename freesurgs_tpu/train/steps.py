@@ -149,19 +149,22 @@ def tracking_loop(field: GaussianField, quat0, trans0, gt_image, prev_depth,
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def body(i, carry):
-        pose, opt, _, bins_c = carry
+        pose, opt, prev, bins_c = carry
         rebin = (jnp.equal(i % cfg.rebin_tracking_every, 0)
                  if amortize else None)
         (loss, (rgb, flow, bins_c)), grads = grad_fn(pose, bins_c, rebin)
         # NaN guard (reference keeps similar guards in its losses,
         # scene/pose_optimizer.py:213-214): a single non-finite gradient
         # must not poison the pose for all remaining iterations.
+        nonfinite = prev[3] + sum(
+            jnp.sum(~jnp.isfinite(g))
+            for g in jax.tree.leaves(grads)).astype(jnp.float32)
         grads = jax.tree.map(
             lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads)
         lr = tracking_lr(i, cfg.tracking_iters)
         upd, opt = adam_update(grads, opt, lr)
         pose = apply_updates(pose, upd)
-        return pose, opt, jnp.stack([loss, rgb, flow]), bins_c
+        return pose, opt, jnp.stack([loss, rgb, flow, nonfinite]), bins_c
 
     if amortize:
         from ..ops.raster_pallas import zero_bin_state
@@ -173,9 +176,10 @@ def tracking_loop(field: GaussianField, quat0, trans0, gt_image, prev_depth,
         bins0 = None
     pose, _, last, _ = jax.lax.fori_loop(
         0, cfg.tracking_iters, body,
-        (pose0, opt0, jnp.zeros(3, jnp.float32), bins0))
+        (pose0, opt0, jnp.zeros(4, jnp.float32), bins0))
     return pose["q"], pose["t"], {"loss": last[0], "rgb_loss": last[1],
-                                  "flow_loss": last[2]}
+                                  "flow_loss": last[2],
+                                  "nonfinite_grads": last[3]}
 
 
 # -------------------------------------------------------------- mapping
@@ -246,11 +250,12 @@ def mapping_chunk(state: MappingState,
             mono = jax.lax.dynamic_index_in_dim(monodeps_all, t_idx, 0,
                                                 False)
             rgb = cfg.w_rgb_mapping * losses.rgb_loss(out["render"], gt)
-            dep = (cfg.w_pearson * losses.pearson_depth_loss(
-                       mono, out["render_dep"])
-                   + cfg.w_local_pearson * losses.local_pearson_loss(
-                       mono, out["render_dep"], lp_key))
-            return rgb + dep, out
+            pear = cfg.w_pearson * losses.pearson_depth_loss(
+                mono, out["render_dep"])
+            lpear = cfg.w_local_pearson * losses.local_pearson_loss(
+                mono, out["render_dep"], lp_key)
+            terms = jnp.stack([rgb, pear, lpear])
+            return rgb + pear + lpear, (out, terms)
 
         params = field.param_dict()
         probe0 = jnp.zeros((field.capacity, 2), jnp.float32)
@@ -279,23 +284,23 @@ def mapping_chunk(state: MappingState,
             kf_t = keyframes[kf_pos]
 
             def total_loss(params, probe):
-                l0, out0 = view_loss(params, probe, kf_t, k_lp1)
-                l1, out1 = view_loss(params, None, cur_t, k_lp2,
-                                     bins_c, rebin)
-                return l0 + l1, (out0, out1)
+                l0, (out0, _) = view_loss(params, probe, kf_t, k_lp1)
+                l1, (out1, terms1) = view_loss(params, None, cur_t, k_lp2,
+                                               bins_c, rebin)
+                return l0 + l1, (out0, out1, terms1)
 
-            (loss, (out0, out1)), grads = jax.value_and_grad(
+            (loss, (out0, out1, terms)), grads = jax.value_and_grad(
                 total_loss, argnums=(0, 1), has_aux=True)(params, probe0)
             pgrads, probe_grad = grads
             stats_out = out0
             cur_out = out1
         else:
             def total_loss(params, probe):
-                l, out = view_loss(params, probe, cur_t, k_lp1,
-                                   bins_c, rebin)
-                return l, out
+                l, (out, terms) = view_loss(params, probe, cur_t, k_lp1,
+                                            bins_c, rebin)
+                return l, (out, terms)
 
-            (loss, out), grads = jax.value_and_grad(
+            (loss, (out, terms)), grads = jax.value_and_grad(
                 total_loss, argnums=(0, 1), has_aux=True)(params, probe0)
             pgrads, probe_grad = grads
             stats_out = out
@@ -305,20 +310,29 @@ def mapping_chunk(state: MappingState,
 
         # NaN guard, same rationale as the tracking loop's: a single
         # non-finite gradient (degenerate view, numerical edge) must not
-        # poison the whole field for the rest of the chunk. The count is
-        # surfaced in the chunk diagnostics so a live run shows WHERE
-        # numerical trouble starts instead of silently training through it.
-        nonfinite = sum(
-            jnp.sum(~jnp.isfinite(g)) for g in jax.tree.leaves(
-                (pgrads, probe_grad))).astype(jnp.float32)
+        # poison the whole field for the rest of the chunk. Counts are
+        # surfaced PER PARAMETER GROUP in the chunk diagnostics so a live
+        # run shows WHERE numerical trouble starts instead of silently
+        # training through it (round-2 ran with a single joint count and
+        # its divergence could not be localized from the logs).
+        nf_groups = jnp.stack(
+            [jnp.sum(~jnp.isfinite(pgrads[k])).astype(jnp.float32)
+             for k in ("means", "quats", "log_scales", "logit_opacity",
+                       "sh_dc", "sh_rest")]
+            + [jnp.sum(~jnp.isfinite(probe_grad)).astype(jnp.float32)])
+        nonfinite = jnp.sum(nf_groups)
         pgrads, probe_grad = jax.tree.map(
             lambda g: jnp.where(jnp.isfinite(g), g, 0.0),
             (pgrads, probe_grad))
 
         # densification statistics from the stats view (train.py:261-263,
-        # 297-303)
+        # 297-303); the probe cotangent is in pixels, the reference's
+        # threshold units are half-NDC (see add_render_stats).
+        ndc_scale = jnp.asarray([0.5 * cam.width, 0.5 * cam.height],
+                                jnp.float32)
         field = add_render_stats(field, probe_grad, stats_out["radii"],
-                                 stats_out["visibility"])
+                                 stats_out["visibility"],
+                                 grad_scale=ndc_scale)
 
         upd, opt = adam_update(pgrads, opt, cfg.mapping_lrs(iteration))
         field = field.replace(**apply_updates(params, upd))
@@ -356,8 +370,12 @@ def mapping_chunk(state: MappingState,
             cur_t, 0)
         new_state = MappingState(field, opt, iteration, key, pred_depths,
                                  pred_colors)
-        diag = jnp.stack([loss, cur_out["overflow"].astype(jnp.float32),
-                          nonfinite])
+        diag = jnp.concatenate([
+            jnp.stack([loss, cur_out["overflow"].astype(jnp.float32),
+                       nonfinite]),
+            terms,        # [3:6] rgb / pearson / local-pearson (cur view)
+            nf_groups,    # [6:13] per-group nonfinite grad entries
+        ])
         return new_state, diag, cur_out.get("bins"), did_surgery
 
     amortize = (cfg.rebin_every > 1 and mesh is None
@@ -387,8 +405,19 @@ def mapping_chunk(state: MappingState,
             return st, diag
 
         state, diag = jax.lax.scan(scan_body, state, cur_ts)
+    group_names = ("means", "quats", "log_scales", "logit_opacity",
+                   "sh_dc", "sh_rest", "probe2d")
+    n_it = diag.shape[0]
+    any_nf = diag[:, 2] > 0
     aux = {"loss": diag[-1, 0], "overflow_max": jnp.max(diag[:, 1]),
            "nonfinite_grads": jnp.sum(diag[:, 2]),
+           "loss_terms": diag[-1, 3:6],   # rgb / pearson / local-pearson
+           "nonfinite_by_group": {
+               k: jnp.sum(diag[:, 6 + i]) for i, k in enumerate(group_names)},
+           # first in-chunk iteration with any nonfinite grad (n_it = none)
+           "first_nonfinite_iter": jnp.where(
+               jnp.any(any_nf),
+               jnp.argmax(any_nf), jnp.int32(n_it)),
            "iteration": state.iteration,
            "num_active": state.field.num_active}
     return state, aux

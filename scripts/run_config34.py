@@ -70,7 +70,7 @@ def main():
     tg = time.time()
     done = 0
     while done < args.global_iters and time.time() - t0 < args.budget_s:
-        n = min(1000, args.global_iters - done)
+        n = min(args.global_chunk, args.global_iters - done)
         trainer.global_run(n)
         done += n
     summary["global_s"] = round(time.time() - tg, 1)
@@ -87,9 +87,12 @@ def main():
     tv = time.time()
     metrics = trainer.validation()
     summary["validation_s"] = round(time.time() - tv, 1)
-    summary.update({k: (round(float(v), 5) if isinstance(v, float) else v)
+    import numpy as np
+    summary.update({k: (round(float(v), 5)
+                        if isinstance(v, (float, np.floating)) else v)
                     for k, v in metrics.items()
-                    if isinstance(v, (int, float))})
+                    if isinstance(v, (int, float, np.integer, np.floating,
+                                      str))})
     summary["total_s"] = round(time.time() - t0, 1)
 
     with open(os.path.join(args.out, "summary.json"), "w") as f:

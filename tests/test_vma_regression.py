@@ -7,6 +7,12 @@ parameter cotangents, so ``check_vma=False`` is load-bearing. Multi-chip
 gradient correctness therefore rests on (a) the gradient-parity assertion
 below and (b) knowing which JAX versions the combination was verified on.
 
+A minimal standalone repro of the miscompile (no repo dependencies,
+filing-ready) lives at ``scripts/vma_repro.py``: the trigger is a
+data-dependent permutation gather (``w[argsort(...)]``) over a REPLICATED
+shard_map operand; mask-only and dynamic_slice transposes are correct
+under either setting.
+
 This test fails LOUDLY in two situations:
  1. the installed jax version is one we have not re-verified — update
     ``VERIFIED_JAX`` after confirming ``test_gradient_parity_under_vma_off``

@@ -23,3 +23,19 @@ Package layout (see SURVEY.md section 7 for the design rationale):
 """
 
 __version__ = "0.1.0"
+
+# f32 math must MEAN f32 on TPU: the default matmul/conv precision
+# truncates operands to bf16 on the MXU, which (a) corrupts variance-style
+# cancellations (SSIM's E[x^2] - mu^2 vs C2 = 9e-4 — the round-2 full-res
+# divergence), and (b) injects ~2^-9 relative noise into the world->camera
+# transform (~2 px of screen jitter at SCARED focal lengths). Every
+# performance-critical matmul in this package passes an EXPLICIT precision
+# (the Pallas kernels and ops/binning* manage their own bf16 splits), so
+# this default only governs the numerically-sensitive jnp call sites.
+# Opt out with FSTPU_NO_PRECISION_OVERRIDE=1 (A/B experiments only).
+import os as _os
+
+if not _os.environ.get("FSTPU_NO_PRECISION_OVERRIDE"):
+    import jax as _jax
+
+    _jax.config.update("jax_default_matmul_precision", "highest")

@@ -54,6 +54,11 @@ class RunConfig:
     impl: str = ""                # '' -> auto (pallas on TPU)
     max_instances: int = 0        # 0 -> auto-size from frame-0 coverage
     debug_nans: bool = False      # jax_debug_nans (detect_anomaly analogue)
+    platform: str = ""            # force a jax platform ('cpu' for local
+                                  # verification while the TPU is busy —
+                                  # the container's JAX_PLATFORMS pin
+                                  # overrides env vars, so this goes
+                                  # through jax.config)
 
 
 @dataclass

@@ -131,8 +131,16 @@ def render(means3d: jnp.ndarray, quats: jnp.ndarray, log_scales: jnp.ndarray,
     proj = proj._replace(mean2d=mean2d)
 
     # SH -> RGB against the frame-0 camera center (origin): reference parity.
-    dirs = means_w / jnp.maximum(
-        jnp.linalg.norm(means_w, axis=-1, keepdims=True), 1e-8)
+    # rsqrt(max(|x|^2, eps^2)) — NOT x / max(norm(x), eps): norm's sqrt has
+    # an infinite derivative at 0, and every never-used capacity slot holds
+    # EXACTLY zero means, so the naive form emits 0 * inf = NaN cotangents
+    # for (capacity - active) slots per backward (harmless to training —
+    # the NaN guard zeroes them — but it saturates the nonfinite-grad
+    # diagnostic that exists to catch REAL numerical trouble). Here the
+    # max routes the zero-branch gradient to the constant before the
+    # rsqrt, so the cotangent is exactly 0.
+    n2 = jnp.sum(means_w * means_w, axis=-1, keepdims=True)
+    dirs = means_w * jax.lax.rsqrt(jnp.maximum(n2, 1e-16))
     rgb = sh_to_rgb_clamped(sh_degree, gs(sh_coeffs), dirs)
 
     z = proj.depth

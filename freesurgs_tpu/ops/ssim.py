@@ -32,12 +32,20 @@ def _blur(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
     dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape,
                                         ("NCHW", "OIHW", "NCHW"))
     pad = window.shape[0] // 2
+    # Precision.HIGHEST is load-bearing: TPU convs otherwise truncate
+    # operands to bf16, and the variance terms E[x^2] - mu^2 below then
+    # carry ~1e-3 absolute error — larger than C2 = 9e-4 — so the SSIM
+    # denominator can cross ZERO on low-texture windows: SSIM > 1,
+    # unbounded map values, and inf/NaN gradients (observed as the
+    # round-2 full-res divergence: a NEGATIVE rgb loss at frame 0 on
+    # TPU while CPU runs — f32 convs — were clean).
+    hp = jax.lax.Precision.HIGHEST
     x = jax.lax.conv_general_dilated(
         x, jnp.tile(kh, (c, 1, 1, 1)), (1, 1), [(pad, pad), (0, 0)],
-        dimension_numbers=dn, feature_group_count=c)
+        dimension_numbers=dn, feature_group_count=c, precision=hp)
     x = jax.lax.conv_general_dilated(
         x, jnp.tile(kw, (c, 1, 1, 1)), (1, 1), [(0, 0), (pad, pad)],
-        dimension_numbers=dn, feature_group_count=c)
+        dimension_numbers=dn, feature_group_count=c, precision=hp)
     return x[0]
 
 

@@ -185,7 +185,11 @@ class Trainer:
         n_act = int(self.field.num_active)
         cap = self.field.capacity
         if n_act > 0.9 * cap:
-            new_cap = -(-int(cap * 1.6) // 4096) * 4096
+            # 2x growth: each growth event recompiles every jitted step
+            # (~1-2 min through the tunnel), so fewer, larger growths win
+            # over tight memory packing (v5e HBM is not the binding
+            # constraint at these capacities).
+            new_cap = -(-int(cap * 2.0) // 4096) * 4096
             self.log_fn(f"growing capacity {cap} -> {new_cap} "
                         f"(active {n_act})")
             field = grow_capacity(self.field, new_cap)
@@ -334,7 +338,10 @@ class Trainer:
                         else self.cfg.mapping_iters)
                 aux = self._map_frame(t, n_it, two_views=(t > 0))
                 self.keyframes.append(t)
-                self._maybe_grow(every=5)
+                # every mapped frame: _check_overflow below already pays
+                # the device sync, and a saturated slot pool silently
+                # drops densify children until the next growth
+                self._maybe_grow()
                 # per-mapped-frame: a full-res map can outgrow the
                 # instance buffer in < 10 frames (the cfg34 run overflowed
                 # unchecked between the 10-frame logging ticks); the aux

@@ -34,6 +34,27 @@ def enable_nan_debugging(enable: bool = True):
     jax.config.update("jax_debug_nans", enable)
 
 
+def enable_compilation_cache(path: str | None = None):
+    """Persistent XLA-executable cache for the entry points.
+
+    Capacity growth / instance-buffer growth recompile every jitted step;
+    through a tunneled TPU each recompile costs ~1-2 min, and a full-res
+    progressive run sees a handful of them. The persistent cache makes
+    reruns (and repeated shapes after growth) hit disk instead.
+    FSTPU_COMPILE_CACHE overrides the location; set it empty to disable.
+    """
+    import os
+    path = os.environ.get("FSTPU_COMPILE_CACHE",
+                          path or "/tmp/fstpu_jax_cache")
+    if not path:
+        return
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass  # older jax without the knobs: run uncached
+
+
 class StepTimer:
     """Per-step wall timing + rays/s (reference ``num_rays_per_step`` =
     H * W * 3, ``train.py:99``)."""

@@ -44,6 +44,9 @@ def main():
     from freesurgs_tpu.data.scared import load_scared
     from freesurgs_tpu.train.loop import Trainer
     from freesurgs_tpu.train.steps import TrainConfig
+    from freesurgs_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
 
     os.makedirs(args.out, exist_ok=True)
     seq = load_scared(args.data, 0, args.frames, sample_rate=8)

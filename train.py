@@ -27,6 +27,13 @@ def main(argv=None):
     args = parser.parse_args(argv)
     cfg = from_args(cfg, args)
 
+    if cfg.run.platform:
+        import jax
+        jax.config.update("jax_platforms", cfg.run.platform)
+
+    from freesurgs_tpu.utils.profiling import enable_compilation_cache
+    enable_compilation_cache()
+
     if cfg.run.debug_nans:
         from freesurgs_tpu.utils.profiling import enable_nan_debugging
         enable_nan_debugging()

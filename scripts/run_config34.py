@@ -86,6 +86,14 @@ def main():
 
     if args.save_ckpt:
         trainer.save(os.path.join(args.out, "ckpt_final"))
+        from freesurgs_tpu.io.cameras_json import save_cameras_json
+        from freesurgs_tpu.io.ply import field_to_ply
+        field_to_ply(trainer.field, os.path.join(args.out,
+                                                 "point_cloud.ply"))
+        import numpy as np_
+        save_cameras_json(os.path.join(args.out, "cameras.json"),
+                          np_.asarray(trainer.poses.all_w2c()), trainer.cam,
+                          names=seq.image_names)
 
     tv = time.time()
     metrics = trainer.validation()

@@ -352,6 +352,8 @@ class Trainer:
                 if terms is not None:
                     metrics["rgb"], metrics["pear"], metrics["lp"] = \
                         terms[0], terms[1], terms[2]
+                if "num_instances_max" in aux:
+                    metrics["inst"] = aux["num_instances_max"]
                 self._report_nonfinite(aux, f"frame {t}")
                 if self.panel_fn is not None and t % self.panel_every == 0:
                     self._emit_panel(t)
@@ -436,8 +438,13 @@ class Trainer:
                       sh_degree=self.active_sh_degree, impl=self.cfg.impl,
                       max_instances=self.cfg.max_instances)
 
-    def validation(self) -> dict:
-        from ..eval.image_metrics import rgb_evaluation
+    def validation(self, include_train: bool = False) -> dict:
+        """Test-view PSNR/SSIM/LPIPS + pose metrics (reference
+        ``train.py:446-515``). ``include_train`` additionally reports
+        psnr_train over an every-8th subset of train views — a
+        diagnostic that separates map quality from pose error (test
+        frames' poses come from tracking only, never mapping)."""
+        from ..eval.image_metrics import psnr, rgb_evaluation
         from ..eval.pose_metrics import evaluate_subsequences
 
         preds, gts = [], []
@@ -450,6 +457,15 @@ class Trainer:
         metrics: dict = {}
         if preds:
             metrics.update(rgb_evaluation(np.stack(gts), np.stack(preds)))
+        if include_train:
+            tr_p, tr_g = [], []
+            for t in [int(i) for i in self.seq.i_train][::8]:
+                out = self.render_frame(t)
+                tr_p.append(np.clip(np.asarray(out["render"]), 0, 1))
+                tr_g.append(np.asarray(self.colors[t]))
+            if tr_p:
+                metrics["psnr_train"] = psnr(np.stack(tr_g),
+                                             np.stack(tr_p))
         if getattr(self.seq, "gt_poses", None):
             pred_w2c = np.asarray(self.poses.all_w2c())
             metrics.update(evaluate_subsequences(

@@ -237,7 +237,8 @@ def mapping_chunk(state: MappingState,
     Returns (state, aux) with last-iteration diagnostics.
     """
 
-    def one_iter(state: MappingState, cur_t, bins_c=None, rebin=None):
+    def one_iter(state: MappingState, cur_t, bins_c=None, rebin=None,
+                 kf_pos_pre=None, kf_bins_c=None, kf_rebin=None):
         field, opt, iteration, key = (state.field, state.opt,
                                       state.iteration, state.key)
         key, k_kf, k_lp1, k_lp2 = jax.random.split(key, 4)
@@ -261,7 +262,16 @@ def mapping_chunk(state: MappingState,
         probe0 = jnp.zeros((field.capacity, 2), jnp.float32)
 
         if two_views:
-            if cfg.keyframe_policy == "overlap":
+            if kf_pos_pre is not None:
+                # amortized path: the chunk's keyframe draws were
+                # presampled and value-grouped (same multiset, sorted
+                # order) so the keyframe view's binning layout can be
+                # carried across equal-keyframe runs — the same
+                # distribution-preserving reordering the global stage
+                # applies to its random frame visits (train/loop.py
+                # global_run).
+                kf_pos = kf_pos_pre
+            elif cfg.keyframe_policy == "overlap":
                 # Viewpoint-overlap selection (pose_optimizer.py:534-577):
                 # back-project the current frame's depth prior, score each
                 # keyframe by reprojected visibility, pick randomly among
@@ -284,7 +294,8 @@ def mapping_chunk(state: MappingState,
             kf_t = keyframes[kf_pos]
 
             def total_loss(params, probe):
-                l0, (out0, _) = view_loss(params, probe, kf_t, k_lp1)
+                l0, (out0, _) = view_loss(params, probe, kf_t, k_lp1,
+                                          kf_bins_c, kf_rebin)
                 l1, (out1, terms1) = view_loss(params, None, cur_t, k_lp2,
                                                bins_c, rebin)
                 return l0 + l1, (out0, out1, terms1)
@@ -370,38 +381,80 @@ def mapping_chunk(state: MappingState,
             cur_t, 0)
         new_state = MappingState(field, opt, iteration, key, pred_depths,
                                  pred_colors)
+        bins_out = cur_out.get("bins")
+        kf_bins_out = stats_out.get("bins") if two_views else None
+        n_inst = (bins_out.num_instances.astype(jnp.float32)
+                  if bins_out is not None else jnp.float32(-1))
         diag = jnp.concatenate([
             jnp.stack([loss, cur_out["overflow"].astype(jnp.float32),
                        nonfinite]),
             terms,        # [3:6] rgb / pearson / local-pearson (cur view)
             nf_groups,    # [6:13] per-group nonfinite grad entries
+            n_inst[None],  # [13] binned instances (amortized path; -1 else)
         ])
-        return new_state, diag, cur_out.get("bins"), did_surgery
+        return new_state, diag, bins_out, kf_bins_out, did_surgery
 
     amortize = (cfg.rebin_every > 1 and mesh is None
                 and cfg.impl != "oracle")
+    # The keyframe (densify-stats) view changes every iteration (random
+    # draw), so a single-layout carry cannot amortize it. Presampling the
+    # chunk's draws and value-grouping them (same multiset, sorted order —
+    # the same distribution-preserving reordering global_run applies to
+    # its random frame visits) turns repeats into layout reuse; binning
+    # cost scales with instance CAPACITY, not occupancy, so at full-res
+    # capacities this is the dominant per-iteration cost of the second
+    # view.
+    amortize_kf = (amortize and two_views
+                   and cfg.keyframe_policy == "uniform")
     if amortize:
         from ..ops.raster_pallas import zero_bin_state
         from ..ops.render import raster_config
         cap = state.field.capacity
         bins0 = zero_bin_state(
             cap, raster_config(cam, cfg.max_instances, cap, cfg.impl))
+        n_iters = cur_ts.shape[0]
 
-        def scan_body(carry, x):
-            st, bins_c, prev_t, force = carry
-            cur_t, k = x
-            rebin = (force | (cur_t != prev_t)
-                     | (k % cfg.rebin_every == 0))
-            st, diag, new_bins, surgery = one_iter(st, cur_t, bins_c,
-                                                   rebin)
-            return (st, new_bins, cur_t, surgery), diag
+        if amortize_kf:
+            key, k_seq = jax.random.split(state.key)
+            state = state._replace(key=key)
+            kf_pos_seq = jnp.sort(jax.random.randint(
+                k_seq, (n_iters,), 0, jnp.maximum(n_keyframes, 1)))
 
-        (state, _, _, _), diag = jax.lax.scan(
-            scan_body, (state, bins0, jnp.int32(-1), jnp.bool_(True)),
-            (cur_ts, jnp.arange(cur_ts.shape[0], dtype=jnp.int32)))
+            def scan_body(carry, x):
+                st, bins_c, kf_bins_c, prev_t, prev_kf, force = carry
+                cur_t, k, kf_pos = x
+                rebin = (force | (cur_t != prev_t)
+                         | (k % cfg.rebin_every == 0))
+                # same parameter-drift staleness bound as the cur view
+                kf_rebin = (force | (kf_pos != prev_kf)
+                            | (k % cfg.rebin_every == 0))
+                st, diag, new_bins, new_kf_bins, surgery = one_iter(
+                    st, cur_t, bins_c, rebin, kf_pos_pre=kf_pos,
+                    kf_bins_c=kf_bins_c, kf_rebin=kf_rebin)
+                return (st, new_bins, new_kf_bins, cur_t, kf_pos,
+                        surgery), diag
+
+            (state, _, _, _, _, _), diag = jax.lax.scan(
+                scan_body,
+                (state, bins0, bins0, jnp.int32(-1), jnp.int32(-1),
+                 jnp.bool_(True)),
+                (cur_ts, jnp.arange(n_iters, dtype=jnp.int32), kf_pos_seq))
+        else:
+            def scan_body(carry, x):
+                st, bins_c, prev_t, force = carry
+                cur_t, k = x
+                rebin = (force | (cur_t != prev_t)
+                         | (k % cfg.rebin_every == 0))
+                st, diag, new_bins, _, surgery = one_iter(st, cur_t, bins_c,
+                                                          rebin)
+                return (st, new_bins, cur_t, surgery), diag
+
+            (state, _, _, _), diag = jax.lax.scan(
+                scan_body, (state, bins0, jnp.int32(-1), jnp.bool_(True)),
+                (cur_ts, jnp.arange(n_iters, dtype=jnp.int32)))
     else:
         def scan_body(carry, cur_t):
-            st, diag, _, _ = one_iter(carry, cur_t)
+            st, diag, _, _, _ = one_iter(carry, cur_t)
             return st, diag
 
         state, diag = jax.lax.scan(scan_body, state, cur_ts)
@@ -419,6 +472,7 @@ def mapping_chunk(state: MappingState,
                jnp.any(any_nf),
                jnp.argmax(any_nf), jnp.int32(n_it)),
            "iteration": state.iteration,
+           "num_instances_max": jnp.max(diag[:, 13]),
            "num_active": state.field.num_active}
     return state, aux
 

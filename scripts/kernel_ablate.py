@@ -11,6 +11,9 @@ delta vs baseline attributes that piece's cost. Variants (monkeypatched):
   nomask     drop the 16px rect mask int ops
   nocumsum   cumsum matmuls -> identity (isolates MXU passes)
   allstub    all of the above (VPU floor: DMA + mults + accumulate)
+  nomoment   (bwd only) moment matmuls -> zeros
+  defmm      _matmul at DEFAULT precision (cost of HIGHEST's 6 passes in
+             the cg/WS/acc matmuls)
 """
 import sys
 import os
@@ -81,10 +84,22 @@ STUBS = {}
 
 
 def make_variant(name, noexp=False, nolog1p=False, noTexp=False,
-                 nomask=False, nocumsum=False):
+                 nomask=False, nocumsum=False, nomoment=False, defmm=False):
     orig_alpha = rp._chunk_alpha
     orig_weights = rp._chunk_weights
     orig_cumsum = rp._cumsum_mm
+    orig_moment = rp._moment_mm
+    orig_matmul = rp._matmul
+
+    def moment_mm(P_bf16, x):
+        if nomoment:
+            return jnp.zeros((6, x.shape[1]), jnp.float32)
+        return orig_moment(P_bf16, x)
+
+    def matmul(a, b, contract, precision=jax.lax.Precision.HIGHEST):
+        if defmm:
+            precision = jax.lax.Precision.DEFAULT
+        return orig_matmul(a, b, contract, precision)
 
     def chunk_alpha(f, pixx, pixy, q16=None):
         mx, my = f[0:1, :], f[1:2, :]
@@ -139,7 +154,8 @@ def make_variant(name, noexp=False, nolog1p=False, noTexp=False,
                                    keepdims=True) > 0.0)
         return w, T_pre, valid, abar, new_log_T, new_done
 
-    STUBS[name] = (chunk_alpha, chunk_weights)
+    STUBS[name] = (chunk_alpha, chunk_weights, moment_mm, matmul,
+                   cumsum_mm)
 
 
 def main():
@@ -152,13 +168,18 @@ def main():
     make_variant("noTexp", noTexp=True)
     make_variant("nomask", nomask=True)
     make_variant("nocumsum", nocumsum=True)
+    make_variant("nomoment", nomoment=True)
+    make_variant("defmm", defmm=True)
     make_variant("allstub", noexp=True, nolog1p=True, noTexp=True,
-                 nomask=True, nocumsum=True)
+                 nomask=True, nocumsum=True, nomoment=True, defmm=True)
 
     base_fwd = base_bwd = None
-    for name, (ca, cw) in STUBS.items():
+    for name, (ca, cw, cm, mm, cs) in STUBS.items():
         rp._chunk_alpha = ca
         rp._chunk_weights = cw
+        rp._moment_mm = cm
+        rp._matmul = mm
+        rp._cumsum_mm = cs
         t_fwd = timed(lambda f: jnp.sum(rp._run_fwd(f, meta, cfg)[0]), feat)
         t_bwd = timed(
             lambda f: jnp.sum(rp._run_bwd(f, meta, keff, out, gout, cfg)),

@@ -36,6 +36,7 @@ def main():
     ap.add_argument("--global_iters", type=int, default=6000)
     ap.add_argument("--global_chunk", type=int, default=250)
     ap.add_argument("--rebin_every", type=int, default=4)
+    ap.add_argument("--rebin_tracking_every", type=int, default=1)
     ap.add_argument("--save_ckpt", action="store_true",
                     help="save the final checkpoint (large transfer "
                          "through a tunneled device)")
@@ -54,13 +55,15 @@ def main():
           f" {len(seq.i_train)} train / {len(seq.i_test)} test", flush=True)
 
     cfg = TrainConfig(global_iters=args.global_iters,
-                      rebin_every=args.rebin_every)
+                      rebin_every=args.rebin_every,
+                      rebin_tracking_every=args.rebin_tracking_every)
     trainer = Trainer(seq, cfg, global_chunk=args.global_chunk,
                       log_fn=lambda m: print(m, flush=True),
                       checkpoint_dir=None)
 
     summary = {"frames": args.frames,
                "rebin_every": args.rebin_every,
+               "rebin_tracking_every": args.rebin_tracking_every,
                "init_active": int(trainer.field.num_active),
                "capacity": int(trainer.field.capacity),
                "max_instances": int(trainer.cfg.max_instances)}
@@ -96,7 +99,7 @@ def main():
                           names=seq.image_names)
 
     tv = time.time()
-    metrics = trainer.validation()
+    metrics = trainer.validation(include_train=True)
     summary["validation_s"] = round(time.time() - tv, 1)
     import numpy as np
     summary.update({k: (round(float(v), 5)

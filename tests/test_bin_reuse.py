@@ -231,3 +231,52 @@ def test_global_stage_frame_grouping_quality():
     # catches real regressions (wrong bins would cost tens of dB) while
     # tolerating the documented small effects.
     assert p_grouped > p_iid - 1.0, (p_iid, p_grouped)
+
+
+def test_two_view_keyframe_grouping_quality():
+    """Two-view (progressive) mapping with the keyframe-view BinState
+    carry: presampled value-grouped keyframe draws + layout reuse
+    (rebin_every=4) must train as well as per-iteration i.i.d. keyframe
+    sampling with rebin_every=1, and the densify stats view stays live
+    (max_radii2d accumulates)."""
+    from freesurgs_tpu.data.synthetic import make_scene as make_video
+    from freesurgs_tpu.train.optim import adam_init
+    from freesurgs_tpu.train.steps import (MappingState, TrainConfig,
+                                           make_jitted_mapping)
+    from freesurgs_tpu.ops.render import render as rnd
+    from test_training_steps import field_from_scene
+
+    scene = make_video(num_frames=4, n_gaussians=300, height=64, width=80)
+
+    def run(rebin_every):
+        field = field_from_scene(scene, perturb=0.01)
+        cfg = TrainConfig(max_instances=8192, impl="pallas_interpret",
+                          rebin_every=rebin_every)
+        opt = adam_init(field.param_dict())
+        mapping = make_jitted_mapping(scene.cam, cfg)
+        T, H, W = 4, scene.cam.height, scene.cam.width
+        st = MappingState(field, opt, jnp.int32(0), jax.random.PRNGKey(0),
+                          jnp.zeros((T, H, W)), jnp.zeros((T, 3, H, W)))
+        kf = jnp.asarray([0, 1, 2, 0], jnp.int32)   # 3 live keyframes
+        st2, aux = mapping(
+            st, scene.colors, scene.monodeps, scene.gt_w2c,
+            jnp.full((30,), 3, jnp.int32), kf, jnp.int32(3),
+            cam=scene.cam, cfg=cfg, two_views=True,
+            sh_degree=0, densify_enabled=False)
+        f = st2.field
+        assert np.isfinite(float(aux["loss"]))
+        assert float(jnp.max(f.max_radii2d)) > 0   # stats view was live
+        ps = []
+        for t in range(4):
+            out = rnd(f.means, f.quats, f.log_scales, f.logit_opacity,
+                      f.sh, scene.gt_w2c[t], scene.cam, active=f.active,
+                      impl="pallas_interpret", max_instances=8192)
+            mse = jnp.mean((jnp.clip(out["render"], 0, 1)
+                            - scene.colors[t]) ** 2)
+            ps.append(float(-10 * jnp.log10(mse)))
+        return np.mean(ps)
+
+    p_exact = run(1)
+    p_grouped = run(4)
+    # Same tolerance rationale as the global-stage grouping gate above.
+    assert p_grouped > p_exact - 1.0, (p_exact, p_grouped)

@@ -88,20 +88,29 @@ def test_fd_gradient(scene, argnum):
         v = rng.normal(size=g.shape)
         dirs.append(v / np.linalg.norm(v))
 
-    eps = np.float64(max(2e-3 * np.abs(x).max(), 2e-3))
+    # No single eps conditions every direction: central-difference
+    # truncation grows O(eps^2) (position-like params have large third
+    # derivatives) while f32 loss-evaluation roundoff grows ~1e-6*|loss|/eps
+    # (at 2e-3 it reached ~40% of the smallest directional projection).
+    # A WRONG analytic gradient is a persistent offset that no eps matches,
+    # so the sound check is: some eps in the sweet-spot range agrees.
     for k, v in enumerate(dirs):
-        args_p = list(params)
-        args_m = list(params)
-        args_p[argnum] = jnp.asarray((x + eps * v).astype(np.float32))
-        args_m[argnum] = jnp.asarray((x - eps * v).astype(np.float32))
-        fd = (float(loss(*args_p)) - float(loss(*args_m))) / (2 * eps)
         an = float(np.sum(g * v))
         # random directions can have near-zero projections; judge against
         # the gradient norm so the comparison stays meaningful
         scale = max(abs(an), 0.05 * gnorm)
-        assert abs(an - fd) / scale < 0.04, (
-            f"{NAMES[argnum]} dir {k}: analytic {an:.6g} vs FD {fd:.6g} "
-            f"(|g| {gnorm:.4g})")
+        errs = []
+        for eps_rel in (1e-3, 2e-3, 4e-3, 8e-3):
+            eps = np.float64(max(eps_rel * np.abs(x).max(), eps_rel))
+            args_p = list(params)
+            args_m = list(params)
+            args_p[argnum] = jnp.asarray((x + eps * v).astype(np.float32))
+            args_m[argnum] = jnp.asarray((x - eps * v).astype(np.float32))
+            fd = (float(loss(*args_p)) - float(loss(*args_m))) / (2 * eps)
+            errs.append(abs(an - fd) / scale)
+        assert min(errs) < 0.04, (
+            f"{NAMES[argnum]} dir {k}: analytic {an:.6g}, FD rel errs "
+            f"{[round(e, 4) for e in errs]} (|g| {gnorm:.4g})")
 
 
 def test_cuda_parity_constants_audit():

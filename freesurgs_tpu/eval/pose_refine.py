@@ -1,0 +1,78 @@
+"""Pose-only photometric refinement against a FROZEN map.
+
+Eval protocol for SfM-free methods: test-frame poses are never optimized
+by mapping (they come from tracking alone), so raw test-view PSNR mixes
+map quality with pose error. Refining ONLY the test pose against the
+frozen map (the map never sees the test frame's colors beyond this pose
+fit) isolates the map's reconstruction quality — the protocol used by
+pose-free baselines this framework targets (NoPe-NeRF-style test-time
+pose alignment; the reference itself evaluates raw tracked poses,
+``train.py:446-489``, which this module leaves as the default).
+
+Differentiation happens through the renderer's world->camera transform
+(``gs_grad=False, cam_grad=True``), the same pattern as tracking
+(``train/steps.py:tracking_loop``) minus the flow/rigidity terms.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.camera import Camera
+from ..core.transforms import build_w2c
+from ..models.gaussians import GaussianField
+from ..ops.render import render
+from .. import train
+from ..train import losses
+from ..train.optim import adam_init, adam_update, apply_updates
+
+
+def refine_pose(field: GaussianField, quat0, trans0, gt_image,
+                cam: Camera, *, iters: int = 100, lr: float = 3e-3,
+                sh_degree: int = 0, impl: str | None = None,
+                max_instances: int = 0):
+    """Optimize one frame's (quat, trans) photometrically; field frozen.
+
+    Returns (quat, trans, final_loss). Jittable (static iters).
+    """
+    pose0 = {"q": quat0, "t": trans0}
+    opt0 = adam_init(pose0)
+
+    def loss_fn(pose):
+        w2c = build_w2c(pose["q"], pose["t"])
+        out = render(field.means, field.quats, field.log_scales,
+                     field.logit_opacity, field.sh, w2c, cam,
+                     active=field.active, sh_degree=sh_degree, impl=impl,
+                     max_instances=max_instances,
+                     gs_grad=False, cam_grad=True)
+        # UNMASKED: with no flow anchor, a coverage mask lets the
+        # optimizer shrink the evaluated region to easy pixels (masked
+        # loss down, true PSNR down — observed). Full-frame photometric
+        # error is the quantity PSNR measures.
+        return losses.rgb_loss(out["render"], gt_image)
+
+    grad_fn = jax.value_and_grad(loss_fn)
+
+    def body(i, carry):
+        pose, opt, _ = carry
+        loss, grads = grad_fn(pose)
+        grads = jax.tree.map(
+            lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads)
+        # cosine-ish decay: long tail helps the last fraction of a pixel
+        cur_lr = lr * (0.1 + 0.9 * (1.0 - i / max(iters, 1)))
+        upd, opt = adam_update(grads, opt, cur_lr)
+        return apply_updates(pose, upd), opt, loss
+
+    pose, _, last = jax.lax.fori_loop(
+        0, iters, body, (pose0, opt0, jnp.float32(0.0)))
+    return pose["q"], pose["t"], last
+
+
+def make_jitted_refine(cam: Camera):
+    return jax.jit(refine_pose,
+                   static_argnames=("cam", "iters", "lr", "sh_degree",
+                                    "impl", "max_instances"))
+
+
+__all__ = ["refine_pose", "make_jitted_refine"]

@@ -147,6 +147,16 @@ def _matmul(a, b, contract, precision=jax.lax.Precision.HIGHEST):
                                preferred_element_type=jnp.float32)
 
 
+def _split3(x):
+    """3-term bf16 split: hi + mid + lo reproduces f32 ``x`` to ~2^-24
+    relative (each term carries ~8 mantissa bits)."""
+    hi = x.astype(jnp.bfloat16)
+    r = x - hi.astype(jnp.float32)
+    mid = r.astype(jnp.bfloat16)
+    lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
 def _cumsum_mm(x, tri):
     """Lane cumsum of f32 ``x`` via THREE bf16 MXU passes (vs HIGHEST's 6).
 
@@ -155,11 +165,14 @@ def _cumsum_mm(x, tri):
     hi+mid+lo reproduces x to ~2^-24 relative (true f32; a 2-term split
     leaves ~2^-16 and measurably perturbs pose gradients). All passes
     accumulate in f32 on the MXU.
+
+    Measured dead end (round 3): folding the three passes into ONE
+    depth-3C pass by concatenating [hi mid lo] along lanes made both
+    kernels SLOWER (fwd 11.5 -> 15.3 ms, bwd 17.8 -> 21.4 ms at the
+    bench config) — the concat materializes full-size copies whose VPU
+    write cost exceeds the saved MXU issue latency. Keep the 3-pass form.
     """
-    hi = x.astype(jnp.bfloat16)
-    mid = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    lo = (x - hi.astype(jnp.float32)
-          - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    hi, mid, lo = _split3(x)
     trib = tri.astype(jnp.bfloat16)
 
     def mm(a):
@@ -265,11 +278,11 @@ def _moment_mm(P_bf16, x):
 
     P is exact in bf16 (see _pixel_basis); only ``x`` needs the 3-term
     bf16 split, so three DEFAULT passes reproduce the f32 contraction to
-    ~2^-24 relative (same scheme as _cumsum_mm)."""
-    hi = x.astype(jnp.bfloat16)
-    mid = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    lo = (x - hi.astype(jnp.float32)
-          - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    ~2^-24 relative (same scheme as _cumsum_mm). These three tiny
+    matmuls cost ~5.9 ms of the 17.8 ms backward kernel (kernel_ablate)
+    — but the one-pass concat-along-contraction rewrite measured SLOWER
+    (copy cost > issue latency; see _cumsum_mm), so 3 passes stand."""
+    hi, mid, lo = _split3(x)
 
     def mm(a):
         return jax.lax.dot_general(P_bf16, a, (((0,), (0,)), ((), ())),
@@ -470,7 +483,10 @@ def _bwd_kernel(grid_x: int, bin_tile: int, starts_ref, counts_ref, keff_ref,
             logT_s[:, :] = log_T
             done_s[:, :] = done.astype(jnp.float32)
             cf8 = _chunk_channels(f)                        # (N_OUT, CHUNK)
-            # cg[p, i] = sum_ch c_i_ch g_ch_p
+            # cg[p, i] = sum_ch c_i_ch g_ch_p. Keep the HIGHEST matmul:
+            # 6 VPU outer-product FMAs measured SLOWER overall (23.0 vs
+            # 23.7 Mpix/s headline) — the MXU passes overlap VPU work,
+            # while extra VPU ops sit on the critical path.
             cg = _matmul(g8, cf8, ((1,), (0,)))             # (npix, CHUNK)
             wcg = w * cg
             cum_wcg = _cumsum_mm(wcg, tri)
@@ -791,10 +807,25 @@ def snug_tile_rect(proj: ProjectedGaussians, opacity: jnp.ndarray
     # fine as a parity contract for the 3-sigma circle, wrong for a box
     # that must cover every alpha-passing pixel), then intersect (clipping
     # to the grid is inherited from the existing rect).
-    tx0 = jnp.maximum(r[:, 0], ((px - rx) / TILE).astype(jnp.int32))
-    ty0 = jnp.maximum(r[:, 1], ((py - ry) / TILE).astype(jnp.int32))
-    tx1 = jnp.minimum(r[:, 2], ((px + rx) / TILE).astype(jnp.int32) + 1)
-    ty1 = jnp.minimum(r[:, 3], ((py + ry) / TILE).astype(jnp.int32) + 1)
+    #
+    # The float bounds are clipped to +/-1e9 BEFORE the int cast: a
+    # near-degenerate conic whose f32 det cancels to <= 0 hits the 1e-24
+    # floor above and yields an astronomically large rx/ry; casting
+    # (px + rx) / TILE then saturates to INT_MAX and the `+ 1` WRAPS to
+    # INT_MIN, making w = tx1 - tx0 wrap to a huge positive count that
+    # corrupts the binner's instance totals (observed on 2/46 frames of
+    # the first full 30k run). With the clip, the oversized box simply
+    # loses against the grid-clipped CUDA rect in the intersection — the
+    # exact right fallback: no snug shrink for that gaussian.
+    big = 1e9  # 1e9 / TILE + 1 is far from the int32 wrap point
+    tx0 = jnp.maximum(r[:, 0], (jnp.clip(px - rx, -big, big)
+                                / TILE).astype(jnp.int32))
+    ty0 = jnp.maximum(r[:, 1], (jnp.clip(py - ry, -big, big)
+                                / TILE).astype(jnp.int32))
+    tx1 = jnp.minimum(r[:, 2], (jnp.clip(px + rx, -big, big)
+                                / TILE).astype(jnp.int32) + 1)
+    ty1 = jnp.minimum(r[:, 3], (jnp.clip(py + ry, -big, big)
+                                / TILE).astype(jnp.int32) + 1)
     w = jnp.maximum(tx1 - tx0, 0)
     h = jnp.maximum(ty1 - ty0, 0)
     tiles = jnp.where(proj.tiles_touched > 0, w * h, 0).astype(jnp.int32)

@@ -2,9 +2,32 @@
 
 Matches the reference's training-loss SSIM (``utils/loss_utils.py:56-96``):
 sigma 1.5, window 11, SAME zero-padding depthwise convolutions, C1=0.01^2,
-C2=0.03^2, mean over the full map. Implemented with two separable 1-D
-``lax.conv_general_dilated`` passes — XLA maps these onto the MXU/VPU and
-fuses the elementwise tail.
+C2=0.03^2, mean over the full map.
+
+Implementation: the separable blur runs as BANDED-MATRIX MATMULS on the
+MXU — ``blur_axis(x) = x @ B`` with B the (n, n) 11-diagonal Gaussian
+band — with a 2x2 bf16 split of both operands (hi/lo residual, same
+scheme as raster_pallas._cumsum_mm) so the contraction is true-f32 to
+~2^-17. Why not the two obvious alternatives (both measured on v5e at
+(3, 1024, 1280), fwd+bwd, /tmp/ssim comparison round 3):
+
+- ``lax.conv_general_dilated`` at Precision.HIGHEST: 16.4 ms. DEFAULT
+  precision is not an option at all: TPU convs then truncate operands to
+  bf16 and the variance terms ``E[x^2] - mu^2`` carry ~1e-3 absolute
+  error — larger than C2 = 9e-4 — so the SSIM denominator can cross
+  ZERO on low-texture windows: SSIM > 1, unbounded map values, inf/NaN
+  gradients (the round-2 full-res divergence; CPU runs — f32 convs —
+  were clean, which is why tests never caught it).
+- shift-and-add slices (sum_k w[k] * slice_k): 7.4 ms runtime but a
+  134.9 s XLA compile for the gradient (vs 11.4 s here) — it also blew
+  the CPU test-suite compile times up by an order of magnitude.
+
+The banded matmul is 5.3 ms, compiles in 11 s, and the 1280/11 "wasted"
+band FLOPs are free on the MXU at these sizes. The five moment fields
+are batched into ONE stacked blur (linearity), so the pass count does
+not scale with the number of moments. The 2-term split residual (~8e-6)
+is 100x below C2; agreement with the exact-f32 form is ~2e-6 on the
+mean.
 """
 
 from __future__ import annotations
@@ -23,42 +46,64 @@ def _gauss_window(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
     return (g / g.sum()).astype(np.float32)
 
 
-def _blur(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
-    """Depthwise separable Gaussian blur of (C, H, W), SAME zero padding."""
-    c = img.shape[0]
-    x = img[None]  # (1, C, H, W)
-    kh = window.reshape(1, 1, -1, 1)
-    kw = window.reshape(1, 1, 1, -1)
-    dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape,
-                                        ("NCHW", "OIHW", "NCHW"))
-    pad = window.shape[0] // 2
-    # Precision.HIGHEST is load-bearing: TPU convs otherwise truncate
-    # operands to bf16, and the variance terms E[x^2] - mu^2 below then
-    # carry ~1e-3 absolute error — larger than C2 = 9e-4 — so the SSIM
-    # denominator can cross ZERO on low-texture windows: SSIM > 1,
-    # unbounded map values, and inf/NaN gradients (observed as the
-    # round-2 full-res divergence: a NEGATIVE rgb loss at frame 0 on
-    # TPU while CPU runs — f32 convs — were clean).
-    hp = jax.lax.Precision.HIGHEST
-    x = jax.lax.conv_general_dilated(
-        x, jnp.tile(kh, (c, 1, 1, 1)), (1, 1), [(pad, pad), (0, 0)],
-        dimension_numbers=dn, feature_group_count=c, precision=hp)
-    x = jax.lax.conv_general_dilated(
-        x, jnp.tile(kw, (c, 1, 1, 1)), (1, 1), [(0, 0), (pad, pad)],
-        dimension_numbers=dn, feature_group_count=c, precision=hp)
-    return x[0]
+@functools.lru_cache(maxsize=8)
+def _band_matrix(n: int, window_size: int = 11,
+                 sigma: float = 1.5) -> np.ndarray:
+    """(n, n) banded correlation matrix: (x @ B)[i] = sum_k w[k] *
+    x[i + k - half], rows outside [0, n) dropped == SAME zero padding."""
+    w = _gauss_window(window_size, sigma)
+    B = np.zeros((n, n), np.float32)
+    half = window_size // 2
+    for j in range(window_size):
+        off = j - half
+        idx = np.arange(max(0, -off), min(n, n - off))
+        B[idx + off, idx] = w[j]
+    return B
+
+
+def _split2(x: jnp.ndarray):
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _blur_axis1_mm(x: jnp.ndarray, window_size: int,
+                   sigma: float) -> jnp.ndarray:
+    """Blur axis 1 of a rank-3 array via the banded matmul; the
+    contracted axis lands at the END, so the output is x transposed:
+    (C, H, W) -> (C, W, blur(H))."""
+    B = jnp.asarray(_band_matrix(x.shape[1], window_size, sigma))
+    xh, xl = _split2(x)
+    Bh, Bl = _split2(B)
+
+    def mm(u, v):
+        return jax.lax.dot_general(u, v, (((1,), (0,)), ((), ())),
+                                   precision=jax.lax.Precision.DEFAULT,
+                                   preferred_element_type=jnp.float32)
+
+    return mm(xh, Bh) + mm(xh, Bl) + mm(xl, Bh) + mm(xl, Bl)
+
+
+def _blur(img: jnp.ndarray, window_size: int = 11,
+          sigma: float = 1.5) -> jnp.ndarray:
+    """Depthwise separable Gaussian blur of (C, H, W), SAME zero pad."""
+    y = _blur_axis1_mm(img, window_size, sigma)   # (C, W, H)
+    return _blur_axis1_mm(y, window_size, sigma)  # (C, H, W)
 
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
          sigma: float = 1.5) -> jnp.ndarray:
     """Mean SSIM of two (C, H, W) images in [0, 1]."""
-    w = jnp.asarray(_gauss_window(window_size, sigma))
-    mu1 = _blur(img1, w)
-    mu2 = _blur(img2, w)
+    # One stacked blur for all five moment fields (blur is linear).
+    stacked = jnp.concatenate(
+        [img1, img2, img1 * img1, img2 * img2, img1 * img2], axis=0)
+    b = _blur(stacked, window_size, sigma)
+    c = img1.shape[0]
+    mu1, mu2 = b[0:c], b[c:2 * c]
     mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = _blur(img1 * img1, w) - mu1_sq
-    sigma2_sq = _blur(img2 * img2, w) - mu2_sq
-    sigma12 = _blur(img1 * img2, w) - mu12
+    sigma1_sq = b[2 * c:3 * c] - mu1_sq
+    sigma2_sq = b[3 * c:4 * c] - mu2_sq
+    sigma12 = b[4 * c:5 * c] - mu12
     c1, c2 = 0.01 ** 2, 0.03 ** 2
     ssim_map = (((2.0 * mu12 + c1) * (2.0 * sigma12 + c2))
                 / ((mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)))

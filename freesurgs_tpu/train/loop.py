@@ -410,6 +410,13 @@ class Trainer:
             done += n
             self.cur_frame = int(ts[-1])
             self._maybe_grow()
+            # every chunk, not just at the log cadence: chunked callers
+            # (run_config34's budget loop calls global_run(250) repeatedly)
+            # reset `done` each call, so a `done % 1000` gate can never
+            # fire and instance overflow would go unmonitored for the
+            # whole global stage (it did in the first 30k run). One
+            # device-scalar read per chunk (~60 s of device work).
+            self._check_overflow(aux)
             if self.viewer is not None:
                 timer.stop(sync_on=self.state.field.num_active)
                 self._viewer_tick(n * timer.rays_per_sec)
@@ -417,7 +424,6 @@ class Trainer:
                     and done % self.checkpoint_every < n):
                 self.save(f"{self.checkpoint_dir}/ckpt_{done:07d}")
             if done % 1000 < self.global_chunk:
-                self._check_overflow(aux)
                 terms = aux["loss_terms"]
                 self.log_fn(
                     f"[global {done}/{iters}] loss={float(aux['loss']):.4f}"

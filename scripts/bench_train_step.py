@@ -87,13 +87,16 @@ def main():
                            sh_degree=args.sh_degree, densify_enabled=False)
         return st2, aux
 
+    # Force completion with a host scalar read: on tunneled backends
+    # block_until_ready returns at ENQUEUE, not completion (CLAUDE.md
+    # timing rules), which silently times dispatch instead of execution.
     st2, aux = run(st)
-    jax.block_until_ready(st2.field.means)
+    float(jnp.sum(st2.field.means))
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
         st2, aux = run(st)
-        jax.block_until_ready(st2.field.means)
+        float(jnp.sum(st2.field.means))
         best = min(best, (time.time() - t0) / args.iters)
     mpix_s = H * W / 1e6 / best
     print(json.dumps({

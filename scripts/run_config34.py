@@ -40,6 +40,12 @@ def main():
     ap.add_argument("--save_ckpt", action="store_true",
                     help="save the final checkpoint (large transfer "
                          "through a tunneled device)")
+    ap.add_argument("--use_gt_poses", action="store_true",
+                    help="DIAGNOSTIC: skip tracking and train the map at "
+                         "ground-truth poses — isolates the map-quality "
+                         "ceiling from tracked-pose error (the resulting "
+                         "PSNR upper-bounds what perfect tracking could "
+                         "reach; pose metrics become trivially zero)")
     args = ap.parse_args()
 
     from freesurgs_tpu.data.scared import load_scared
@@ -61,7 +67,25 @@ def main():
                       log_fn=lambda m: print(m, flush=True),
                       checkpoint_dir=None)
 
+    if args.use_gt_poses:
+        import jax.numpy as jnp
+        import numpy as np_
+
+        from freesurgs_tpu.core.transforms import rotmat_to_quat
+        gt = np_.concatenate([np_.asarray(v)
+                              for v in seq.gt_poses.values()])
+        rel = gt @ np_.linalg.inv(gt[0])   # frame-0 frame == world frame
+        quats = jnp.stack([rotmat_to_quat(jnp.asarray(m[:3, :3],
+                                                      jnp.float32))
+                           for m in rel])
+        trainer.poses = trainer.poses.replace(
+            quats=quats, trans=jnp.asarray(rel[:, :3, 3], jnp.float32))
+        trainer.track_frame = lambda t: {}
+        print("DIAGNOSTIC: ground-truth poses injected, tracking OFF",
+              flush=True)
+
     summary = {"frames": args.frames,
+               "use_gt_poses": bool(args.use_gt_poses),
                "rebin_every": args.rebin_every,
                "rebin_tracking_every": args.rebin_tracking_every,
                "init_active": int(trainer.field.num_active),

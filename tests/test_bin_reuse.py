@@ -280,3 +280,31 @@ def test_two_view_keyframe_grouping_quality():
     p_grouped = run(4)
     # Same tolerance rationale as the global-stage grouping gate above.
     assert p_grouped > p_exact - 1.0, (p_exact, p_grouped)
+
+
+def test_snug_rect_degenerate_conic_no_wrap():
+    """A near-degenerate conic whose f32 det cancels to <= 0 hits the
+    1e-24 det floor in snug_tile_rect and produces an astronomically
+    large ellipse half-width; the float->int cast of (px + rx)/TILE must
+    NOT wrap past INT_MAX into a huge/negative tile count (it corrupted
+    the binner's instance totals on 2/46 frames of the first full 30k
+    run). The correct fallback is the grid-clipped CUDA rect (no snug
+    shrink)."""
+    from freesurgs_tpu.ops.projection import ProjectedGaussians
+    from freesurgs_tpu.ops.raster_pallas import snug_tile_rect
+
+    # conic with f32-cancelling determinant: A*C == B*B exactly in f32
+    A, B, C = 4.0, 2.0, 1.0            # det = 4*1 - 4 = 0 -> floor 1e-24
+    proj = ProjectedGaussians(
+        mean2d=jnp.asarray([[40.0, 24.0]]),
+        conic=jnp.asarray([[A, B, C]]),
+        depth=jnp.asarray([1.0]),
+        radius=jnp.asarray([10], jnp.int32),
+        tile_rect=jnp.asarray([[1, 0, 4, 3]], jnp.int32),  # CUDA rect
+        tiles_touched=jnp.asarray([9], jnp.int32),
+    )
+    snug = snug_tile_rect(proj, jnp.asarray([0.9]))
+    tiles = int(snug.tiles_touched[0])
+    rect = np.asarray(snug.tile_rect[0])
+    assert tiles == 9, (tiles, rect)            # falls back to CUDA rect
+    np.testing.assert_array_equal(rect, [1, 0, 4, 3])

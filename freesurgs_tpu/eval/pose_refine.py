@@ -23,7 +23,6 @@ from ..core.camera import Camera
 from ..core.transforms import build_w2c
 from ..models.gaussians import GaussianField
 from ..ops.render import render
-from .. import train
 from ..train import losses
 from ..train.optim import adam_init, adam_update, apply_updates
 
@@ -69,7 +68,7 @@ def refine_pose(field: GaussianField, quat0, trans0, gt_image,
     return pose["q"], pose["t"], last
 
 
-def make_jitted_refine(cam: Camera):
+def make_jitted_refine():
     return jax.jit(refine_pose,
                    static_argnames=("cam", "iters", "lr", "sh_degree",
                                     "impl", "max_instances"))

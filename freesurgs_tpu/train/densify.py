@@ -13,8 +13,9 @@ scatters:
 - split:  grad >= thresh and max_scale >  0.01 * scene_radius
           -> two children sampled from N(0, scale) rotated into world frame,
              child scale = scale / (0.8 * 2); original pruned
-- prune:  opacity < min_opacity, or screen radius > max_screen, or
-          world scale > 0.1 * scene_radius
+- prune:  opacity < min_opacity, or (size gate on) world scale >
+          0.1 * scene_radius; the reference's radii2D screen prune is
+          dead code there (see DensifyConfig.prune_radii2d) and off here
 - moments of created slots are zeroed (the reference cats zeros into
   exp_avg / exp_avg_sq); moments of pruned slots are cleared.
 
@@ -41,14 +42,29 @@ class DensifyConfig(NamedTuple):
     percent_dense: float = 0.01       # split/clone scale pivot
     prune_scale_frac: float = 0.1     # world-size prune
     split_factor: float = 1.6         # new scale = scale / (0.8 * N), N=2
-    use_screen_size: bool = True
-    max_screen_size: float = 20.0     # radii2D prune (after iter 4000)
+    # The reference's screen-size prune (max_radii2D > 20,
+    # scene/gaussian_model.py:671-673) is DEAD CODE in the reference:
+    # densify_and_clone / densify_and_split both call
+    # densification_postfix, which zeroes max_radii2D
+    # (scene/gaussian_model.py:617) BEFORE the prune mask is computed, so
+    # big_points_vs is always all-False. Round 3 implemented the literal
+    # (accumulated-radii) reading and it over-pruned catastrophically at
+    # full resolution (active count 131k -> 59k during global refinement,
+    # PSNR capped at 18.6: any gaussian whose screen radius exceeded
+    # 20 px in the preceding 300-iteration window died every event after
+    # iteration 4000). Default False == the reference's effective
+    # semantics; True keeps the literal reading for experiments.
+    prune_radii2d: bool = False
+    max_screen_size: float = 20.0     # radii2D prune threshold (if enabled)
 
 
 class DensifyStats(NamedTuple):
     cloned: jnp.ndarray
     split: jnp.ndarray
     pruned: jnp.ndarray
+    pruned_opacity: jnp.ndarray   # per-cause attribution (prune_m is the
+    pruned_world: jnp.ndarray     # union; causes can overlap)
+    pruned_screen: jnp.ndarray
     dropped: jnp.ndarray   # children that didn't fit in free slots
     num_active: jnp.ndarray
 
@@ -78,11 +94,19 @@ def densify_and_prune(field: GaussianField, opt_state: AdamState,
     clone_m = hot & (max_scale <= pivot)
     split_m = hot & (max_scale > pivot)
 
-    prune_m = act & (opacity < cfg.min_opacity)
-    screen_prune = (field.max_radii2d > cfg.max_screen_size) | (
-        max_scale > cfg.prune_scale_frac * field.scene_radius)
-    prune_m = prune_m | (act & screen_prune
-                         & jnp.asarray(use_screen_size, bool))
+    # Prune causes, matching the reference's EFFECTIVE semantics
+    # (scene/gaussian_model.py:669-674): opacity < min_opacity always;
+    # world-size (scale > 0.1 * scene_radius) only when the size gate is
+    # on (iteration > 4000, train.py:305-311). The radii2D prune is dead
+    # in the reference (see DensifyConfig.prune_radii2d) — off by default.
+    size_gate = jnp.asarray(use_screen_size, bool)
+    prune_op = act & (opacity < cfg.min_opacity)
+    prune_world = act & (max_scale > cfg.prune_scale_frac
+                         * field.scene_radius) & size_gate
+    prune_screen = (act & (field.max_radii2d > cfg.max_screen_size)
+                    & size_gate) if cfg.prune_radii2d else \
+        jnp.zeros_like(prune_op)
+    prune_m = prune_op | prune_world | prune_screen
     prune_m = prune_m | split_m   # split originals die
 
     # ---- children bookkeeping: clones (1 child) + splits (2 children).
@@ -140,6 +164,9 @@ def densify_and_prune(field: GaussianField, opt_state: AdamState,
     stats = DensifyStats(
         cloned=jnp.sum(clone_m), split=jnp.sum(split_m),
         pruned=jnp.sum(prune_m & ~split_m),
+        pruned_opacity=jnp.sum(prune_op),
+        pruned_world=jnp.sum(prune_world),
+        pruned_screen=jnp.sum(prune_screen),
         dropped=jnp.sum(want3) - jnp.sum(placed3),
         num_active=jnp.sum(new_active))
     return field, opt_state, stats

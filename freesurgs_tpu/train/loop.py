@@ -75,6 +75,9 @@ class Trainer:
                                           # labeled comparison panels
                                           # (reference train.py:349-365)
     panel_every: int = 25                 # emit every N mapped frames
+    validation_every: int = 5000          # mid-global test-view eval
+                                          # cadence (train.py:401-425);
+                                          # 0 disables
 
     def __post_init__(self):
         seq = self.seq
@@ -176,7 +179,7 @@ class Trainer:
 
         ``every`` rate-limits the device->host occupancy read: on tunneled
         backends a host sync is expensive, so the progressive loop checks
-        every few frames only (capacity has 10% headroom + growth is 1.6x,
+        every few frames only (capacity has 10% headroom + growth is 2x,
         so a few densify events of slack are safe).
         """
         self._grow_tick = getattr(self, "_grow_tick", 0) + 1
@@ -352,7 +355,7 @@ class Trainer:
                 if terms is not None:
                     metrics["rgb"], metrics["pear"], metrics["lp"] = \
                         terms[0], terms[1], terms[2]
-                if "num_instances_max" in aux:
+                if float(aux.get("num_instances_max", -1)) >= 0:
                     metrics["inst"] = aux["num_instances_max"]
                 self._report_nonfinite(aux, f"frame {t}")
                 if self.panel_fn is not None and t % self.panel_every == 0:
@@ -383,6 +386,11 @@ class Trainer:
         from ..utils.profiling import StepTimer
         timer = StepTimer(self.cam.height, self.cam.width)
         done = 0
+        # Persistent across chunked global_run calls (run_config34's
+        # budget loop calls global_run(250) repeatedly): per-call `done`
+        # can never reach the 5000-iteration validation/checkpoint
+        # cadences, so cadence gates use this cross-call counter.
+        total_before = getattr(self, "_global_done", 0)
         t0 = time.time()
         while done < iters:
             timer.start()
@@ -420,21 +428,38 @@ class Trainer:
             if self.viewer is not None:
                 timer.stop(sync_on=self.state.field.num_active)
                 self._viewer_tick(n * timer.rays_per_sec)
+            total = total_before + done
+            self._global_done = total
             if (self.checkpoint_dir
-                    and done % self.checkpoint_every < n):
-                self.save(f"{self.checkpoint_dir}/ckpt_{done:07d}")
+                    and total % self.checkpoint_every < n):
+                self.save(f"{self.checkpoint_dir}/ckpt_{total:07d}")
             if done % 1000 < self.global_chunk:
                 terms = aux["loss_terms"]
+                dt = {k: int(v) for k, v in aux["densify_totals"].items()
+                      if float(v) > 0}
                 self.log_fn(
                     f"[global {done}/{iters}] loss={float(aux['loss']):.4f}"
                     f" rgb={float(terms[0]):.4f} pear={float(terms[1]):.4f}"
                     f" lp={float(terms[2]):.4f}"
                     f" active={int(aux['num_active'])}"
+                    + (f" densify={dt}" if dt else "")
                     + f" ({time.time() - t0:.1f}s)")
                 self._report_nonfinite(aux, f"global {done}")
             self.history.append({"stage": "global", "iter": done,
                                  "loss": float(aux["loss"]),
                                  "num_active": int(aux["num_active"])})
+            # Mid-run validation cadence (reference evaluates the test
+            # views every 5000 global iterations, train.py:401-425). This
+            # is the alarm that catches quality regressions — e.g. an
+            # active-count collapse — at iteration 5,000 instead of at the
+            # end of a 30k run (round 3's 131k -> 59k collapse went
+            # unnoticed for a full run without it).
+            if (self.validation_every
+                    and total % self.validation_every < n):
+                val = self.validation()
+                self.history.append({"stage": "global_val", "iter": total,
+                                     **{k: v for k, v in val.items()
+                                        if isinstance(v, (int, float))}})
 
     # --------------------------------------------------------- evaluation
     def render_frame(self, t: int):

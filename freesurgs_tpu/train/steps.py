@@ -29,8 +29,8 @@ from ..core.transforms import build_w2c
 from ..models.gaussians import GaussianField
 from ..ops.render import render
 from . import losses
-from .densify import DensifyConfig, add_render_stats, densify_and_prune, \
-    reset_opacity
+from .densify import DensifyConfig, DensifyStats, add_render_stats, \
+    densify_and_prune, reset_opacity
 from .optim import AdamState, adam_init, adam_update, apply_updates, \
     expon_lr, tracking_lr
 
@@ -349,6 +349,9 @@ def mapping_chunk(state: MappingState,
         field = field.replace(**apply_updates(params, upd))
 
         did_surgery = jnp.bool_(False)
+        zero_stats = DensifyStats(*(jnp.zeros((), jnp.int32)
+                                    for _ in DensifyStats._fields))
+        dstats = zero_stats
         if densify_enabled:
             key, k_dens = jax.random.split(key)
 
@@ -356,13 +359,13 @@ def mapping_chunk(state: MappingState,
                 f, o = args
                 return densify_and_prune(
                     f, o, k_dens, cfg.densify,
-                    use_screen_size=iteration > cfg.size_threshold_from
-                )[:2]
+                    use_screen_size=iteration > cfg.size_threshold_from)
 
             densify_now = ((iteration % cfg.densify_interval == 0)
                            & (iteration < cfg.densify_until))
-            field, opt = jax.lax.cond(
-                densify_now, do_densify, lambda a: a, (field, opt))
+            field, opt, dstats = jax.lax.cond(
+                densify_now, do_densify,
+                lambda a: (a[0], a[1], zero_stats), (field, opt))
 
             field, opt = jax.lax.cond(
                 iteration % cfg.opacity_reset_interval == 0,
@@ -391,6 +394,12 @@ def mapping_chunk(state: MappingState,
             terms,        # [3:6] rgb / pearson / local-pearson (cur view)
             nf_groups,    # [6:13] per-group nonfinite grad entries
             n_inst[None],  # [13] binned instances (amortized path; -1 else)
+            # [14:20] densify-event attribution (zeros on non-event iters):
+            # cloned / split / pruned_opacity / pruned_world /
+            # pruned_screen / dropped-children
+            jnp.stack([dstats.cloned, dstats.split, dstats.pruned_opacity,
+                       dstats.pruned_world, dstats.pruned_screen,
+                       dstats.dropped]).astype(jnp.float32),
         ])
         return new_state, diag, bins_out, kf_bins_out, did_surgery
 
@@ -473,6 +482,13 @@ def mapping_chunk(state: MappingState,
                jnp.argmax(any_nf), jnp.int32(n_it)),
            "iteration": state.iteration,
            "num_instances_max": jnp.max(diag[:, 13]),
+           # chunk totals over densify events (per-cause prune attribution
+           # — the alarm for over-pruning regressions like round 3's
+           # 131k -> 59k active collapse)
+           "densify_totals": {
+               k: jnp.sum(diag[:, 14 + i]) for i, k in enumerate(
+                   ("cloned", "split", "pruned_opacity", "pruned_world",
+                    "pruned_screen", "dropped"))},
            "num_active": state.field.num_active}
     return state, aux
 

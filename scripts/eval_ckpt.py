@@ -57,7 +57,7 @@ def main():
 
     if args.refine_iters > 0:
         from freesurgs_tpu.eval.pose_refine import make_jitted_refine
-        refine = make_jitted_refine(trainer.cam)
+        refine = make_jitted_refine()
         ps = []
         for t in [int(i) for i in seq.i_test]:
             q, tr_, loss = refine(

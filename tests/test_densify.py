@@ -84,15 +84,67 @@ def test_prune_low_opacity(rng):
     assert int(f2.num_active) == 6
 
 
-def test_screen_size_prune_gated(rng):
+def test_radii2d_prune_is_dead_by_default(rng):
+    """Reference parity: the radii2D screen prune is dead code in the
+    reference (densification_postfix zeroes max_radii2D before the prune
+    mask is computed, scene/gaussian_model.py:617,671). A healthy gaussian
+    with a huge accumulated screen radius must NOT be pruned — the literal
+    reading collapsed the round-3 full run 131k -> 59k active."""
     f = make_field(rng, n=10, cap=32, radius=100.0)
-    f = f.replace(max_radii2d=f.max_radii2d.at[:3].set(50.0))
+    f = f.replace(max_radii2d=f.max_radii2d.at[:3].set(500.0))
+    f_on, _, st = densify_and_prune(f, _opt(f), jax.random.PRNGKey(0),
+                                    DensifyConfig(), use_screen_size=True)
+    assert int(f_on.num_active) == 10
+    assert int(st.pruned_screen) == 0
+    # the literal (accumulated-radii) reading stays available for
+    # experiments behind prune_radii2d=True
+    f_lit, _, st2 = densify_and_prune(
+        f, _opt(f), jax.random.PRNGKey(0),
+        DensifyConfig(prune_radii2d=True), use_screen_size=True)
+    assert int(f_lit.num_active) == 7
+    assert int(st2.pruned_screen) == 3
+
+
+def test_world_size_prune_gated(rng):
+    """The world-size prune (scale > 0.1 * scene_radius) IS live in the
+    reference, gated by the size threshold (active after iter 4000)."""
+    f = make_field(rng, n=10, cap=32, radius=1.0)
+    f = f.replace(log_scales=jnp.full_like(f.log_scales, jnp.log(0.01)
+                                           ).at[:3].set(jnp.log(0.5)))
     f_off, _, _ = densify_and_prune(f, _opt(f), jax.random.PRNGKey(0),
                                     DensifyConfig(), use_screen_size=False)
-    f_on, _, _ = densify_and_prune(f, _opt(f), jax.random.PRNGKey(0),
-                                   DensifyConfig(), use_screen_size=True)
+    f_on, _, st = densify_and_prune(f, _opt(f), jax.random.PRNGKey(0),
+                                    DensifyConfig(), use_screen_size=True)
     assert int(f_off.num_active) == 10
     assert int(f_on.num_active) == 7
+    assert int(st.pruned_world) == 3
+    assert int(st.pruned_opacity) == 0
+
+
+def test_repeated_events_do_not_collapse_healthy_field(rng):
+    """Round-3 regression (VERDICT weak #1): many densify events over a
+    field of healthy-opacity gaussians with full-res-scale screen radii
+    must not shrink the active count. Would have failed on the round-3
+    behavior (every gaussian with radii2D > 20 died each event)."""
+    f = make_field(rng, n=40, cap=128)
+    # healthy opacities (0.6), small world scales, big accumulated screen
+    # radii (the full-res regime)
+    f = f.replace(
+        logit_opacity=jnp.full_like(f.logit_opacity,
+                                    gmod.inverse_sigmoid(jnp.asarray(0.6))),
+        log_scales=jnp.full_like(f.log_scales, jnp.log(0.01)),
+        max_radii2d=jnp.where(f.active, 120.0, 0.0))
+    opt = _opt(f)
+    n0 = int(f.num_active)
+    key = jax.random.PRNGKey(3)
+    for i in range(10):
+        key, k = jax.random.split(key)
+        # re-accumulate radii each round, as renders would at full res
+        f = f.replace(max_radii2d=jnp.where(f.active, 120.0, 0.0))
+        f, opt, st = densify_and_prune(f, opt, k, DensifyConfig(),
+                                       use_screen_size=True)
+        assert int(st.pruned_screen) == 0
+    assert int(f.num_active) >= n0
 
 
 def test_overflow_drops_children(rng):

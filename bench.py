@@ -99,6 +99,11 @@ def main():
         "value": round(mpix_s, 3),
         "unit": "Mpix/s",
         "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 3),
+        # the divisor is a literature estimate (~5 Mpix/s fwd+bwd for the
+        # CUDA rasterizer on an RTX-3090-class GPU — see module docstring);
+        # no CUDA hardware exists here to measure it, so vs_baseline
+        # carries that estimate's error bars
+        "baseline_source": "literature-estimate RTX3090 ~5 Mpix/s",
     }))
     return 0
 

@@ -6,28 +6,37 @@ C2=0.03^2, mean over the full map.
 
 Implementation: the separable blur runs as BANDED-MATRIX MATMULS on the
 MXU — ``blur_axis(x) = x @ B`` with B the (n, n) 11-diagonal Gaussian
-band — with a 2x2 bf16 split of both operands (hi/lo residual, same
-scheme as raster_pallas._cumsum_mm) so the contraction is true-f32 to
-~2^-17. Why not the two obvious alternatives (both measured on v5e at
-(3, 1024, 1280), fwd+bwd, /tmp/ssim comparison round 3):
+band — in f32 at ``Precision.HIGHEST``. Why not the alternatives (all
+measured on v5e at (3, 1024, 1280), fwd+bwd):
 
-- ``lax.conv_general_dilated`` at Precision.HIGHEST: 16.4 ms. DEFAULT
+- ``lax.conv_general_dilated`` at Precision.HIGHEST: 16.4 ms (the
+  round-3 implementation, validated in the round-3 full run). DEFAULT
   precision is not an option at all: TPU convs then truncate operands to
   bf16 and the variance terms ``E[x^2] - mu^2`` carry ~1e-3 absolute
   error — larger than C2 = 9e-4 — so the SSIM denominator can cross
   ZERO on low-texture windows: SSIM > 1, unbounded map values, inf/NaN
   gradients (the round-2 full-res divergence; CPU runs — f32 convs —
   were clean, which is why tests never caught it).
+- a MANUAL 2x2 bf16 split of both operands at DEFAULT precision
+  (``mm(xh,Bh)+mm(xh,Bl)+mm(xl,Bh)+mm(xl,Bl)``): mathematically ~2^-17,
+  5.3 ms — but it REINTRODUCED the divergence in the round-4 full run
+  (frame-0 rgb loss NEGATIVE, i.e. SSIM > 1: variance error back at the
+  ~1e-3 bf16 level). On TPU the compiled arithmetic did not preserve the
+  split (consistent with XLA's dot-merging/algebraic simplification
+  folding ``mm(xh,B)+mm(xl,B)`` into ``mm(xh+xl, B)`` with the operand
+  add in bf16 — which exactly cancels the lo term). A hand split at
+  DEFAULT precision is NOT a safe contract; HIGHEST is, because the
+  3-pass decomposition happens inside the dot lowering itself.
 - shift-and-add slices (sum_k w[k] * slice_k): 7.4 ms runtime but a
-  134.9 s XLA compile for the gradient (vs 11.4 s here) — it also blew
+  134.9 s XLA compile for the gradient (vs ~11 s here) — it also blew
   the CPU test-suite compile times up by an order of magnitude.
 
-The banded matmul is 5.3 ms, compiles in 11 s, and the 1280/11 "wasted"
-band FLOPs are free on the MXU at these sizes. The five moment fields
-are batched into ONE stacked blur (linearity), so the pass count does
-not scale with the number of moments. The 2-term split residual (~8e-6)
-is 100x below C2; agreement with the exact-f32 form is ~2e-6 on the
-mean.
+The f32/HIGHEST banded matmul keeps the MXU-friendly structure (the
+1280/11 "wasted" band FLOPs are free at these sizes) with the precision
+contract enforced by the lowering, not by simplifier-fragile operand
+algebra. The five moment fields are batched into ONE stacked blur
+(linearity), so the pass count does not scale with the number of
+moments.
 """
 
 from __future__ import annotations
@@ -61,27 +70,19 @@ def _band_matrix(n: int, window_size: int = 11,
     return B
 
 
-def _split2(x: jnp.ndarray):
-    hi = x.astype(jnp.bfloat16)
-    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, lo
-
-
 def _blur_axis1_mm(x: jnp.ndarray, window_size: int,
                    sigma: float) -> jnp.ndarray:
     """Blur axis 1 of a rank-3 array via the banded matmul; the
     contracted axis lands at the END, so the output is x transposed:
-    (C, H, W) -> (C, W, blur(H))."""
+    (C, H, W) -> (C, W, blur(H)).
+
+    Precision.HIGHEST is load-bearing (see module docstring): the
+    variance terms downstream cancel to ~C2 = 9e-4 scale, and any bf16
+    truncation of the operands reintroduces the full-res divergence."""
     B = jnp.asarray(_band_matrix(x.shape[1], window_size, sigma))
-    xh, xl = _split2(x)
-    Bh, Bl = _split2(B)
-
-    def mm(u, v):
-        return jax.lax.dot_general(u, v, (((1,), (0,)), ((), ())),
-                                   precision=jax.lax.Precision.DEFAULT,
-                                   preferred_element_type=jnp.float32)
-
-    return mm(xh, Bh) + mm(xh, Bl) + mm(xl, Bh) + mm(xl, Bl)
+    return jax.lax.dot_general(x, B, (((1,), (0,)), ((), ())),
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)
 
 
 def _blur(img: jnp.ndarray, window_size: int = 11,

@@ -43,6 +43,31 @@ def test_parallax_disparity_orders_depth():
                               jnp.asarray(-scene.flows_fw[0]))
     assert np.all(np.asarray(disp) > 0)
     assert disp.shape == scene.depths[0].shape
+    # The proxy must actually ORDER depth — a constant output would pass
+    # the positivity check above. Its premise (residual-after-median
+    # parallax ~ inverse depth) holds for translation-dominant motion
+    # with a one-sided inverse-depth distribution (the endoscope-sweep
+    # regime it targets; the synthetic scene above is rotation-dominant,
+    # where no pure-parallax proxy can order depth). Build that regime
+    # analytically: background plane + foreground bump, pure lateral
+    # translation plus a constant rotation-like flow offset.
+    h, w = 48, 64
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    bump = np.exp(-(((xx - w / 2) / 8.0) ** 2 + ((yy - h / 2) / 6.0) ** 2))
+    z = 3.0 - 2.0 * bump                     # bg 3.0, foreground to 1.0
+    inv_z = 1.0 / z
+    t_flow = 60.0 * 0.05 * inv_z             # fx * tx / z
+    flow_fw = np.stack([t_flow + 0.7, np.zeros_like(t_flow) - 0.3])
+    dispa = np.asarray(parallax_disparity(jnp.asarray(flow_fw),
+                                          jnp.asarray(-flow_fw))).ravel()
+
+    def ranks(x):
+        r = np.empty_like(x)
+        r[np.argsort(x)] = np.arange(x.size)
+        return r
+
+    rho = float(np.corrcoef(ranks(dispa), ranks(inv_z.ravel()))[0, 1])
+    assert rho > 0.6, f"disparity proxy does not order depth (rho={rho:.3f})"
 
 
 def test_producer_script_roundtrip(tmp_path):

@@ -180,10 +180,15 @@ def test_mapping_chunk_with_mesh_matches_single(rng):
                                  cam=scene_.cam, cfg=cfg, two_views=False,
                                  sh_degree=0, densify_enabled=True,
                                  mesh=mesh)
-        return st2
+        return st2, aux
 
-    a = run(None)
-    b = run(make_mesh(4))
+    a, aux_a = run(None)
+    b, aux_b = run(make_mesh(4))
+    # the comparison must exercise REAL gradient flow: the init field is
+    # perturbed away from the gt-rendering one, so loss and parameter
+    # movement are nontrivial under the mesh (round-3 verdict weak #6)
+    assert float(aux_b["loss"]) > 1e-3
+    assert float(jnp.sum(jnp.abs(b.field.means - field.means))) > 0.0
     np.testing.assert_allclose(np.asarray(a.field.means),
                                np.asarray(b.field.means), atol=2e-4)
     np.testing.assert_allclose(np.asarray(a.field.grad_denom),

@@ -78,6 +78,13 @@ class Trainer:
     validation_every: int = 5000          # mid-global test-view eval
                                           # cadence (train.py:401-425);
                                           # 0 disables
+    max_capacity: int = 786_432           # slot-pool growth ceiling: the
+                                          # round-4 crash was the TPU
+                                          # worker dying at capacity 786k
+                                          # + instance buffer 3.1M (peak
+                                          # HBM); past the cap densify
+                                          # children drop (counted) with
+                                          # a warning instead of OOMing
 
     def __post_init__(self):
         seq = self.seq
@@ -94,10 +101,17 @@ class Trainer:
         self.active_sh_degree = 0
         self.key = jax.random.PRNGKey(self.seed)
 
-        # frame 0 cache = monodepth prior (train.py:41-42)
-        pred_depths = jnp.zeros((self.num_frames, H, W)
-                                ).at[0].set(self.monodeps[0])
-        pred_colors = jnp.zeros((self.num_frames, 3, H, W))
+        # frame 0 cache = monodepth prior (train.py:41-42). The caches
+        # live bf16: at full res they are the largest state tensors
+        # (~970 MB f32 for 46 frames) and their consumers tolerate ~3
+        # decimal digits — the next tracking step's flow-reprojection
+        # (depth rel-err 2^-9 shifts the induced flow by ~f*|t|*0.2% ~
+        # 0.02 px) and the viewer panels. The round-4 OOM crash happened
+        # exactly at peak state (capacity 786k + instance buffer 3.1M).
+        pred_depths = jnp.zeros((self.num_frames, H, W), jnp.bfloat16
+                                ).at[0].set(
+                                    self.monodeps[0].astype(jnp.bfloat16))
+        pred_colors = jnp.zeros((self.num_frames, 3, H, W), jnp.bfloat16)
 
         # Gaussian field init from frame 0 (train.py:44)
         mask = create_random_mask(H * W, self.init_mask_frac, self.seed)
@@ -188,11 +202,17 @@ class Trainer:
         n_act = int(self.field.num_active)
         cap = self.field.capacity
         if n_act > 0.9 * cap:
+            if cap >= self.max_capacity:
+                self.log_fn(f"WARNING: slot pool saturated at the "
+                            f"max_capacity cap {cap} (active {n_act}): "
+                            "densify children are being dropped")
+                return
             # 2x growth: each growth event recompiles every jitted step
             # (~1-2 min through the tunnel), so fewer, larger growths win
             # over tight memory packing (v5e HBM is not the binding
             # constraint at these capacities).
-            new_cap = -(-int(cap * 2.0) // 4096) * 4096
+            new_cap = min(-(-int(cap * 2.0) // 4096) * 4096,
+                          self.max_capacity)
             self.log_fn(f"growing capacity {cap} -> {new_cap} "
                         f"(active {n_act})")
             field = grow_capacity(self.field, new_cap)
@@ -590,9 +610,10 @@ class Trainer:
                     self._tracking = make_jitted_tracking(self.cam, self.cfg)
         restored, _ = restore_checkpoint(
             path, template=self._ckpt_tree(self.capture()))
+        # caches live bf16 (which is also how checkpoints store them)
         restored["state"] = restored["state"]._replace(
-            pred_depths=restored["state"].pred_depths.astype(jnp.float32),
-            pred_colors=restored["state"].pred_colors.astype(jnp.float32))
+            pred_depths=restored["state"].pred_depths.astype(jnp.bfloat16),
+            pred_colors=restored["state"].pred_colors.astype(jnp.bfloat16))
         self.state = jax.tree.map(jnp.asarray, restored["state"])
         self.poses = jax.tree.map(jnp.asarray, restored["poses"])
         self.keyframes = [int(k) for k in restored["keyframes"]]

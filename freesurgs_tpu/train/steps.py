@@ -378,10 +378,12 @@ def mapping_chunk(state: MappingState,
                 iteration % cfg.opacity_reset_interval == 0)
 
         pred_depths = jax.lax.dynamic_update_index_in_dim(
-            state.pred_depths, cur_out["render_dep"], cur_t, 0)
+            state.pred_depths,
+            cur_out["render_dep"].astype(state.pred_depths.dtype), cur_t, 0)
         pred_colors = jax.lax.dynamic_update_index_in_dim(
-            state.pred_colors, jnp.clip(cur_out["render"], 0.0, 1.0),
-            cur_t, 0)
+            state.pred_colors,
+            jnp.clip(cur_out["render"], 0.0, 1.0
+                     ).astype(state.pred_colors.dtype), cur_t, 0)
         new_state = MappingState(field, opt, iteration, key, pred_depths,
                                  pred_colors)
         bins_out = cur_out.get("bins")

@@ -349,6 +349,16 @@ class Trainer:
         from ..utils.profiling import StepTimer
         timer = StepTimer(self.cam.height, self.cam.width)
         t0 = time.time()
+        # Host-gap overlap: every device-scalar read (aux overflow,
+        # occupancy) blocks the host until that frame's chunk finishes,
+        # so reading frame t's scalars BEFORE dispatching frame t+1
+        # leaves the device idle for one tunnel round-trip + host
+        # bookkeeping per frame. Deferring the reads one frame keeps the
+        # device queue non-empty: frame t+1's tracking+mapping are
+        # dispatched first, then the (long-finished) frame-t scalars are
+        # read while the device works. Growth/overflow reactions lag one
+        # mapped frame; both have sizing margins for that.
+        pending: tuple | None = None    # (frame, aux) awaiting scalar reads
         for t in range(self.num_frames):
             timer.start()
             self.cur_frame = t
@@ -361,23 +371,17 @@ class Trainer:
                         else self.cfg.mapping_iters)
                 aux = self._map_frame(t, n_it, two_views=(t > 0))
                 self.keyframes.append(t)
-                # every mapped frame: _check_overflow below already pays
-                # the device sync, and a saturated slot pool silently
-                # drops densify children until the next growth
-                self._maybe_grow()
-                # per-mapped-frame: a full-res map can outgrow the
-                # instance buffer in < 10 frames (the cfg34 run overflowed
-                # unchecked between the 10-frame logging ticks); the aux
-                # scalar read costs one tunnel sync per mapped frame only
-                self._check_overflow(aux)
+                if pending is not None:
+                    self._drain_progressive_aux(*pending)
+                pending = (t, aux)
                 metrics.update({k: aux[k] for k in ("loss", "num_active")})
                 terms = aux.get("loss_terms")
                 if terms is not None:
                     metrics["rgb"], metrics["pear"], metrics["lp"] = \
                         terms[0], terms[1], terms[2]
-                if float(aux.get("num_instances_max", -1)) >= 0:
-                    metrics["inst"] = aux["num_instances_max"]
-                self._report_nonfinite(aux, f"frame {t}")
+                # device scalar, no sync; the -1 not-amortized sentinel is
+                # filtered at print time
+                metrics["inst"] = aux["num_instances_max"]
                 if self.panel_fn is not None and t % self.panel_every == 0:
                     self._emit_panel(t)
             self.history.append({"stage": "progressive", "frame": t,
@@ -393,10 +397,21 @@ class Trainer:
                 self.log_fn(
                     f"[progressive {t}/{self.num_frames}] "
                     + " ".join(f"{k}={float(v):.4g}"
-                               for k, v in metrics.items())
+                               for k, v in metrics.items()
+                               if not (k == "inst" and float(v) < 0))
                     + " | " + " ".join(f"{k}={float(v):.3g}"
                                        for k, v in h.items())
                     + f" ({time.time() - t0:.1f}s)")
+        if pending is not None:
+            self._drain_progressive_aux(*pending)
+
+    def _drain_progressive_aux(self, frame: int, aux):
+        """The deferred per-mapped-frame device-scalar reads (see
+        progressive_run): slot-pool occupancy for capacity growth,
+        instance overflow, and nonfinite-gradient attribution."""
+        self._maybe_grow()
+        self._check_overflow(aux)
+        self._report_nonfinite(aux, f"frame {frame}")
 
     def global_run(self, iters: int | None = None):
         iters = iters if iters is not None else self.cfg.global_iters

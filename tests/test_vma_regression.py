@@ -32,6 +32,10 @@ from freesurgs_tpu.parallel.sharded import pad_height_for, render_sharded
 
 # Versions on which the check_vma=False transpose was verified to produce
 # parameter cotangents matching the single-device renderer.
+# Compatibility log: 0.9.0 re-verified 2026-08-19 (round 4, this image;
+# gradient parity green). No newer jax has been available in the image to
+# test against; upstream filing of scripts/vma_repro.py still blocked on
+# zero egress.
 VERIFIED_JAX = ("0.9.0", "0.9.1")
 
 CAM = Camera(height=32, width=32, fx=30.0, fy=30.0, cx=16.0, cy=16.0)

@@ -54,18 +54,27 @@ def refine_pose(field: GaussianField, quat0, trans0, gt_image,
     grad_fn = jax.value_and_grad(loss_fn)
 
     def body(i, carry):
-        pose, opt, _ = carry
+        pose, opt, best_loss, best_pose = carry
         loss, grads = grad_fn(pose)
+        # best-pose carry: photometric refinement over a frozen map is
+        # non-convex and an Adam trajectory can wander off (observed on
+        # the round-3 checkpoint: raw test PSNR 18.6, "refined" 14.6).
+        # Returning the best-loss iterate makes refinement monotone by
+        # construction — it can only match or improve the initial pose.
+        better = loss < best_loss
+        best_loss = jnp.where(better, loss, best_loss)
+        best_pose = jax.tree.map(
+            lambda new, old: jnp.where(better, new, old), pose, best_pose)
         grads = jax.tree.map(
             lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads)
         # cosine-ish decay: long tail helps the last fraction of a pixel
         cur_lr = lr * (0.1 + 0.9 * (1.0 - i / max(iters, 1)))
         upd, opt = adam_update(grads, opt, cur_lr)
-        return apply_updates(pose, upd), opt, loss
+        return apply_updates(pose, upd), opt, best_loss, best_pose
 
-    pose, _, last = jax.lax.fori_loop(
-        0, iters, body, (pose0, opt0, jnp.float32(0.0)))
-    return pose["q"], pose["t"], last
+    _, _, best_loss, best_pose = jax.lax.fori_loop(
+        0, iters, body, (pose0, opt0, jnp.float32(jnp.inf), pose0))
+    return best_pose["q"], best_pose["t"], best_loss
 
 
 def make_jitted_refine():

@@ -157,7 +157,8 @@ class Trainer:
         # global_run() calls must NOT replay the same frame-sampling
         # sequence (they did in round 2 — the rng was re-seeded per call).
         self._global_rng = np.random.default_rng(self.seed + 1)
-        self._mapping = make_jitted_mapping(self.cam, self.cfg)
+        self._mapping = make_jitted_mapping(self.cam, self.cfg,
+                                            donate=True)
         self._tracking = make_jitted_tracking(self.cam, self.cfg)
         # Field-health probe (numerical diagnostics at logging cadence).
         def health(f):
@@ -227,6 +228,14 @@ class Trainer:
             opt = opt.replace(mu=jax.tree.map(pad, opt.mu),
                               nu=jax.tree.map(pad, opt.nu))
             self.state = self.state._replace(field=field, opt=opt)
+            # Old-capacity executables are dead weight from here on —
+            # their device code (~0.1 GB each) and cached buffer layouts
+            # contribute to the HBM fragmentation that crashed the
+            # round-4 worker at peak capacity. The persistent
+            # compilation cache makes any unexpected re-trace cheap.
+            for fn in (self._mapping, self._tracking):
+                if hasattr(fn, "clear_cache"):
+                    fn.clear_cache()
 
     def _check_overflow(self, aux):
         """Grow the instance-buffer capacity when the binner dropped
@@ -252,7 +261,8 @@ class Trainer:
             self.log_fn(f"instance overflow {int(ov)}: max_instances "
                         f"{cur} -> {new_m} (recompiling)")
             self.cfg = self.cfg._replace(max_instances=new_m)
-            self._mapping = make_jitted_mapping(self.cam, self.cfg)
+            self._mapping = make_jitted_mapping(self.cam, self.cfg,
+                                            donate=True)
             self._tracking = make_jitted_tracking(self.cam, self.cfg)
 
     def _update_sh_degree(self):
@@ -571,7 +581,9 @@ class Trainer:
                 "n_keyframes": len(self.keyframes),
                 "sh_rest_k": int(self.field.sh_rest.shape[1]),
                 "num_frames": self.num_frames,
-                "max_instances": int(self.cfg.max_instances or 0)}
+                "max_instances": int(self.cfg.max_instances or 0),
+                # crash-resume support: how far the global stage got
+                "global_done": int(getattr(self, "_global_done", 0))}
 
     def _resize_capacity(self, new_cap: int):
         """Re-shape field + optimizer moments to ``new_cap`` slots (both
@@ -615,13 +627,15 @@ class Trainer:
                 "sh_degree mismatch between checkpoint and Trainer config")
             self._resize_capacity(meta["capacity"])
             self.keyframes = [0] * meta["n_keyframes"]
+            self._global_done = int(meta.get("global_done", 0))
             if meta.get("max_instances"):
                 # keep the grown instance buffer (avoids an immediate
                 # overflow-triggered recompile after resume)
                 if meta["max_instances"] != (self.cfg.max_instances or 0):
                     self.cfg = self.cfg._replace(
                         max_instances=meta["max_instances"])
-                    self._mapping = make_jitted_mapping(self.cam, self.cfg)
+                    self._mapping = make_jitted_mapping(self.cam, self.cfg,
+                                            donate=True)
                     self._tracking = make_jitted_tracking(self.cam, self.cfg)
         restored, _ = restore_checkpoint(
             path, template=self._ckpt_tree(self.capture()))

@@ -495,10 +495,21 @@ def mapping_chunk(state: MappingState,
     return state, aux
 
 
-def make_jitted_mapping(cam: Camera, cfg: TrainConfig):
-    """jit wrapper with the static args bound."""
+def make_jitted_mapping(cam: Camera, cfg: TrainConfig,
+                        donate: bool = False):
+    """jit wrapper with the static args bound.
+
+    ``donate=True`` donates the MappingState argument so XLA aliases its
+    ~GB-scale buffers (field + optimizer moments + prediction caches)
+    with the output state instead of holding both live across the call —
+    at full-res capacities that is ~1-2 GB of peak HBM and the
+    fragmentation churn of freeing/reallocating it every chunk (the
+    round-4 TPU worker crashes happened at peak-memory global chunks).
+    Callers that reuse a state across calls (tests) must keep the
+    default."""
     return jax.jit(
         mapping_chunk,
+        donate_argnums=(0,) if donate else (),
         static_argnames=("cam", "cfg", "two_views", "sh_degree",
                          "densify_enabled", "mesh"))
 

@@ -40,6 +40,14 @@ def main():
     ap.add_argument("--save_ckpt", action="store_true",
                     help="save the final checkpoint (large transfer "
                          "through a tunneled device)")
+    ap.add_argument("--checkpoint_every", type=int, default=5000,
+                    help="mid-global checkpoint cadence (crash resume; "
+                         "0 disables)")
+    ap.add_argument("--resume", default="",
+                    help="checkpoint path to resume from: skips the "
+                         "progressive stage and continues the global "
+                         "stage at the checkpoint's iteration (the "
+                         "recovery path for TPU-worker crashes)")
     ap.add_argument("--use_gt_poses", action="store_true",
                     help="DIAGNOSTIC: skip tracking and train the map at "
                          "ground-truth poses — isolates the map-quality "
@@ -65,7 +73,9 @@ def main():
                       rebin_tracking_every=args.rebin_tracking_every)
     trainer = Trainer(seq, cfg, global_chunk=args.global_chunk,
                       log_fn=lambda m: print(m, flush=True),
-                      checkpoint_dir=None)
+                      checkpoint_dir=(args.out if args.checkpoint_every
+                                      else None),
+                      checkpoint_every=args.checkpoint_every or 5000)
 
     if args.use_gt_poses:
         import jax.numpy as jnp
@@ -93,12 +103,28 @@ def main():
                "max_instances": int(trainer.cfg.max_instances)}
 
     t0 = time.time()
-    trainer.progressive_run()
-    summary["progressive_s"] = round(time.time() - t0, 1)
-    print(f"progressive done in {summary['progressive_s']}s", flush=True)
+    if args.resume:
+        import numpy as np_rng
+        trainer.restore(args.resume)
+        done0 = int(getattr(trainer, "_global_done", 0))
+        # fresh stream offset by the resume point: the default stream
+        # would replay the already-trained prefix's frame samples
+        trainer._global_rng = np_rng.random.default_rng(
+            trainer.seed + 1 + done0)
+        summary["resumed_from"] = args.resume
+        summary["resumed_at_global_iter"] = done0
+        summary["progressive_s"] = 0.0
+        print(f"resumed from {args.resume} at global iter {done0}",
+              flush=True)
+    else:
+        trainer.progressive_run()
+        done0 = 0
+        summary["progressive_s"] = round(time.time() - t0, 1)
+        print(f"progressive done in {summary['progressive_s']}s",
+              flush=True)
 
     tg = time.time()
-    done = 0
+    done = done0
     while done < args.global_iters and time.time() - t0 < args.budget_s:
         n = min(args.global_chunk, args.global_iters - done)
         trainer.global_run(n)

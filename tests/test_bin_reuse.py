@@ -181,6 +181,40 @@ def test_tracking_amortized_rebin_converges():
     assert dq1 < 0.8 * dq0 + 1e-4, (dq0, dq1)
 
 
+def test_tracking_rebin_every5_matches_every1():
+    """The production amortization target (rebin_tracking_every=5, the
+    progressive wall-clock lever — binning at full-res instance capacity
+    dominates the tracking iteration) must recover the pose essentially
+    as well as rebinning every iteration: final translation error within
+    1.5x of the every-iteration run (both start from a const-velocity-
+    style perturbed pose)."""
+    from freesurgs_tpu.data.synthetic import make_scene as make_video
+    from freesurgs_tpu.train.steps import TrainConfig, tracking_loop
+    from test_training_steps import field_from_scene, pose_errors
+
+    scene = make_video(num_frames=3, n_gaussians=400, height=64, width=80)
+    field = field_from_scene(scene)
+    t = 1
+    q0, t0 = scene.gt_quats[t - 1], scene.gt_trans[t - 1]
+    rigid = jnp.ones((scene.cam.height, scene.cam.width))
+
+    def run(every):
+        cfg = TrainConfig(tracking_iters=60, max_instances=8192,
+                          impl="pallas_interpret",
+                          rebin_tracking_every=every)
+        q1, t1, m = tracking_loop(
+            field, q0, t0, scene.colors[t], scene.depths[t - 1],
+            scene.gt_w2c[t - 1], scene.flows_fw[t - 1], rigid, scene.cam,
+            cfg, sh_degree=0)
+        assert np.isfinite(float(m["loss"]))
+        return pose_errors(q1, t1, scene.gt_quats[t], scene.gt_trans[t])
+
+    dq1, dt1 = run(1)
+    dq5, dt5 = run(5)
+    assert dt5 < 1.5 * dt1 + 1e-5, (dt1, dt5)
+    assert dq5 < 1.5 * dq1 + 1e-5, (dq1, dq5)
+
+
 def test_global_stage_frame_grouping_quality():
     """The global stage groups each chunk's random frame visits into runs
     (train/loop.py) so the BinState carry pays off. Sorted-run visiting

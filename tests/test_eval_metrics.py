@@ -161,3 +161,43 @@ def test_lpips_architecture_matches_torch(rng):
     ours = np.asarray(lpips_jax.lpips_pairs(a, b, w))
     ref = torch_lpips(a, b)
     np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=1e-6)
+
+
+def test_pose_refine_never_hurts(rng):
+    """refine_pose carries the best-loss iterate, so the returned pose's
+    photometric loss can never exceed the initial pose's — even with a
+    deliberately destabilizing learning rate (the round-3 checkpoint
+    eval saw 'refined' PSNR 4 dB BELOW raw before this guard)."""
+    import jax
+    import jax.numpy as jnp
+
+    from freesurgs_tpu.data.synthetic import make_scene
+    from freesurgs_tpu.eval.pose_refine import refine_pose
+    from freesurgs_tpu.models.gaussians import GaussianField
+    from freesurgs_tpu.train.losses import rgb_loss
+    from freesurgs_tpu.ops.render import render
+    from tests.test_training_steps import field_from_scene
+
+    scene = make_scene(num_frames=2, n_gaussians=300, height=48, width=64,
+                       seed=7)
+    field = field_from_scene(scene)
+    t = 1
+    # perturbed init pose
+    q0 = scene.gt_quats[t] + jnp.asarray([0.0, 0.01, -0.01, 0.02])
+    t0 = scene.gt_trans[t] + jnp.asarray([0.01, -0.02, 0.01])
+
+    def loss_at(q, tr):
+        from freesurgs_tpu.core.transforms import build_w2c
+        out = render(field.means, field.quats, field.log_scales,
+                     field.logit_opacity, field.sh, build_w2c(q, tr),
+                     scene.cam, active=field.active, sh_degree=0,
+                     impl="pallas_interpret", max_instances=8192)
+        return float(rgb_loss(out["render"], scene.colors[t]))
+
+    l_init = loss_at(q0, t0)
+    for lr in (3e-3, 5e-2):   # sane and absurd
+        q1, t1, best = refine_pose(
+            field, q0, t0, scene.colors[t], scene.cam, iters=30, lr=lr,
+            sh_degree=0, impl="pallas_interpret", max_instances=8192)
+        l_ref = loss_at(q1, t1)
+        assert l_ref <= l_init + 1e-6, (lr, l_init, l_ref)

@@ -104,6 +104,27 @@ def test_fresh_process_restore(trained, tmp_path):
     assert tr3.field.capacity == tr.field.capacity
 
 
+def test_global_resume_counter_roundtrip(trained, tmp_path):
+    """Crash-resume contract (run_config34 --resume): the cross-call
+    global-iteration counter persists through save/restore, so a fresh
+    process continues cadences (validation/checkpoint) where the crashed
+    one stopped instead of restarting them."""
+    tr, scene = trained
+    tr.global_run(25)   # advances tr._global_done
+    done = int(tr._global_done)
+    assert done > 0
+    path = str(tmp_path / "ck_resume")
+    tr.save(path)
+
+    seq = SeqAdapter(scene)
+    tr2 = Trainer(seq, tr.cfg, sh_degree_max=0, global_chunk=25,
+                  capacity=8192, log_fn=lambda *a: None)
+    tr2.restore(path)
+    assert int(getattr(tr2, "_global_done", -1)) == done
+    tr2.global_run(25)
+    assert int(tr2._global_done) == done + 25
+
+
 def test_render_frame(trained):
     tr, scene = trained
     out = tr.render_frame(0)

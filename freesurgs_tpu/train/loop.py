@@ -78,13 +78,18 @@ class Trainer:
     validation_every: int = 5000          # mid-global test-view eval
                                           # cadence (train.py:401-425);
                                           # 0 disables
-    max_capacity: int = 786_432           # slot-pool growth ceiling: the
-                                          # round-4 crash was the TPU
-                                          # worker dying at capacity 786k
-                                          # + instance buffer 3.1M (peak
-                                          # HBM); past the cap densify
-                                          # children drop (counted) with
-                                          # a warning instead of OOMing
+    max_capacity: int = 589_824           # slot-pool growth ceiling.
+                                          # Measured on the v5e tunnel
+                                          # (scripts/mem_probe.py,
+                                          # populated fields): the global
+                                          # chunk at capacity 786432 is
+                                          # 10.4 GB live and crashes the
+                                          # TPU worker (3/3 runs died at
+                                          # exactly that growth); 589824
+                                          # is 8.4 GB and runs. Past the
+                                          # ceiling densify children drop
+                                          # (counted) with a warning
+                                          # instead of OOMing.
 
     def __post_init__(self):
         seq = self.seq

@@ -32,6 +32,11 @@ def main():
     ap.add_argument("--two_views", action="store_true")
     ap.add_argument("--run", action="store_true",
                     help="also execute one chunk after compiling")
+    ap.add_argument("--populate", type=int, default=0,
+                    help="make this many slots ACTIVE with realistic "
+                         "random gaussians (a zeros field short-circuits "
+                         "binning totals and kernel work — it missed the "
+                         "crash that only real occupancy triggers)")
     ap.add_argument("--platform", default="")
     args = ap.parse_args()
     if args.platform:
@@ -57,13 +62,44 @@ def main():
                       rebin_every=args.rebin_every)
 
     def zeros_state():
-        f = GaussianField(
-            means=jnp.zeros((cap, 3)), quats=jnp.zeros((cap, 4)),
-            log_scales=jnp.zeros((cap, 3)), logit_opacity=jnp.zeros((cap,)),
-            sh_dc=jnp.zeros((cap, 1, 3)), sh_rest=jnp.zeros((cap, 15, 3)),
-            active=jnp.zeros((cap,), bool), max_radii2d=jnp.zeros((cap,)),
-            grad_accum=jnp.zeros((cap,)), grad_denom=jnp.zeros((cap,)),
-            scene_radius=jnp.asarray(0.75), max_sh_degree=3)
+        import numpy as np
+        n_act = min(args.populate, cap)
+        if n_act:
+            rng = np.random.default_rng(0)
+            means = np.zeros((cap, 3), np.float32)
+            means[:n_act] = np.stack(
+                [rng.uniform(-1.2, 1.2, n_act), rng.uniform(-1.0, 1.0, n_act),
+                 rng.uniform(0.8, 3.0, n_act)], -1)
+            quats = np.zeros((cap, 4), np.float32)
+            quats[:, 0] = 1.0
+            quats[:n_act] = rng.normal(size=(n_act, 4))
+            logs = np.full((cap, 3), -7.0, np.float32)
+            logs[:n_act] = np.log(rng.uniform(0.002, 0.01, (n_act, 3)))
+            lo = np.full((cap,), -9.0, np.float32)
+            lo[:n_act] = rng.uniform(-2, 3, n_act)
+            active = np.arange(cap) < n_act
+            f = GaussianField(
+                means=jnp.asarray(means), quats=jnp.asarray(quats),
+                log_scales=jnp.asarray(logs), logit_opacity=jnp.asarray(lo),
+                sh_dc=jnp.asarray(
+                    rng.normal(size=(cap, 1, 3)).astype(np.float32) * 0.3),
+                sh_rest=jnp.asarray(
+                    rng.normal(size=(cap, 15, 3)).astype(np.float32) * 0.1),
+                active=jnp.asarray(active),
+                max_radii2d=jnp.zeros((cap,)),
+                grad_accum=jnp.zeros((cap,)), grad_denom=jnp.zeros((cap,)),
+                scene_radius=jnp.asarray(0.75), max_sh_degree=3)
+        else:
+            f = GaussianField(
+                means=jnp.zeros((cap, 3)), quats=jnp.zeros((cap, 4)),
+                log_scales=jnp.zeros((cap, 3)),
+                logit_opacity=jnp.zeros((cap,)),
+                sh_dc=jnp.zeros((cap, 1, 3)),
+                sh_rest=jnp.zeros((cap, 15, 3)),
+                active=jnp.zeros((cap,), bool),
+                max_radii2d=jnp.zeros((cap,)),
+                grad_accum=jnp.zeros((cap,)), grad_denom=jnp.zeros((cap,)),
+                scene_radius=jnp.asarray(0.75), max_sh_degree=3)
         return MappingState(f, adam_init(f.param_dict()), jnp.int32(2500),
                             jax.random.PRNGKey(0),
                             jnp.zeros((T, H, W), jnp.bfloat16),

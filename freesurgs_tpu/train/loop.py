@@ -483,18 +483,20 @@ class Trainer:
             if (self.checkpoint_dir
                     and total % self.checkpoint_every < n):
                 self.save(f"{self.checkpoint_dir}/ckpt_{total:07d}")
-            if done % 1000 < self.global_chunk:
+            if total % 1000 < n:   # cross-call total, like the other
+                                   # cadences: per-call `done` never
+                                   # reaches 1000 under chunked callers
                 terms = aux["loss_terms"]
                 dt = {k: int(v) for k, v in aux["densify_totals"].items()
                       if float(v) > 0}
                 self.log_fn(
-                    f"[global {done}/{iters}] loss={float(aux['loss']):.4f}"
+                    f"[global {total}] loss={float(aux['loss']):.4f}"
                     f" rgb={float(terms[0]):.4f} pear={float(terms[1]):.4f}"
                     f" lp={float(terms[2]):.4f}"
                     f" active={int(aux['num_active'])}"
                     + (f" densify={dt}" if dt else "")
                     + f" ({time.time() - t0:.1f}s)")
-                self._report_nonfinite(aux, f"global {done}")
+                self._report_nonfinite(aux, f"global {total}")
             self.history.append({"stage": "global", "iter": done,
                                  "loss": float(aux["loss"]),
                                  "num_active": int(aux["num_active"])})

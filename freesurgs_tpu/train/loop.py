@@ -270,6 +270,49 @@ class Trainer:
                                             donate=True)
             self._tracking = make_jitted_tracking(self.cam, self.cfg)
 
+    def right_size_instances(self, margin: float = 1.3,
+                             sample_frames: int = 8) -> bool:
+        """Shrink the instance buffer to the field's ACTUAL coverage.
+
+        Every binning pass scales with the buffer capacity, not
+        occupancy. The auto-sizer sizes from frame 0 (1.5x margin) and
+        overflow only ever grows it — but the map's per-gaussian extent
+        SHRINKS as training refines (measured: M/N 7.9 at init vs 2.73
+        at global iter 7500, leaving the frame-0 buffer 1.63x oversized
+        for the whole global stage). Probes effective instances at up to
+        ``sample_frames`` evenly-spaced mapped-frame poses and resizes to
+        margin x max (shrink only; overflow growth still applies).
+        Returns True if it resized (one recompile)."""
+        from ..ops.projection import project_gaussians
+        from ..ops.raster_pallas import effective_bin_tiles
+
+        f = self.field
+        w2c_all = jax.lax.stop_gradient(self.poses.all_w2c())
+        frames = (self.keyframes or [0])[:: max(
+            1, len(self.keyframes or [0]) // sample_frames)]
+
+        def probe(f, w2c):
+            from ..core.transforms import transform_points
+            mean_cam = transform_points(w2c, f.means)
+            proj = project_gaussians(mean_cam, jnp.exp(f.log_scales),
+                                     f.quats, self.cam, active=f.active)
+            return jnp.sum(effective_bin_tiles(
+                proj, jax.nn.sigmoid(f.logit_opacity), 2))
+
+        pj = jax.jit(probe)
+        worst = max(int(pj(f, w2c_all[t])) for t in frames)
+        cur = self.cfg.max_instances or 0
+        new_m = max(-(-int(margin * worst) // 128) * 128, 4096)
+        if new_m >= cur:
+            return False
+        self.log_fn(f"right-sizing max_instances {cur} -> {new_m} "
+                    f"(worst sampled coverage {worst}, margin {margin}x)")
+        self.cfg = self.cfg._replace(max_instances=new_m)
+        self._mapping = make_jitted_mapping(self.cam, self.cfg,
+                                            donate=True)
+        self._tracking = make_jitted_tracking(self.cam, self.cfg)
+        return True
+
     def _update_sh_degree(self):
         it = int(self.state.iteration)
         want = min(it // self.cfg.sh_increase_interval, self.sh_degree_max)

@@ -216,3 +216,17 @@ def test_viewer_pause_stalls_training():
     # rays/s + current frame were reported
     assert any(f == 0 for _, f in viewer.reports)
     assert any(r is not None and r > 0 for r, _ in viewer.reports)
+
+
+def test_right_size_instances(trained):
+    """Shrink-only instance-buffer right-sizing: after training, the
+    field's actual coverage is far below the frame-0 auto-size, and the
+    resized trainer must keep training without overflow."""
+    tr, scene = trained
+    cur = tr.cfg.max_instances
+    resized = tr.right_size_instances(margin=1.3)
+    assert tr.cfg.max_instances <= cur
+    if resized:
+        tr.global_run(25)   # still trains at the tighter buffer
+        last = tr.history[-1]
+        assert np.isfinite(last["loss"])

@@ -64,7 +64,8 @@ def _frame_key(path: str):
 
 def load_scared(root: str, frame_start: int = 0, frame_end: int = -1,
                 sample_rate: int = 8,
-                cache: str | None = "auto") -> VideoSequence:
+                cache: str | None = "auto",
+                depth_prior: str = "normalized") -> VideoSequence:
     """Load a SCARED-layout sequence.
 
     cache: "auto" (default) uses the native fsio mmap cache
@@ -73,11 +74,24 @@ def load_scared(root: str, frame_start: int = 0, frame_end: int = -1,
     mmap it with background page prefetch (the multi-sequence streaming
     path; the reference re-parses raw files every run,
     ``scene/pose_optimizer.py:355-470``). ``None`` disables caching.
+
+    depth_prior: "normalized" (default, reference parity) remaps each
+    frame's 1/disparity to [0.5, 1.5] by a per-frame min-max affine
+    (``scene/pose_optimizer.py:406-407``) — correct for monocular
+    networks whose output has arbitrary per-frame scale/shift, but it
+    applies a per-frame PROJECTIVE warp to any geometry derived from the
+    prior (the frame-0 point-cloud init), which is measurably the
+    dominant full-scale quality/tracking limiter on data whose depth IS
+    metric (BASELINE.md round-4 attribution). "metric" keeps 1/disparity
+    as-is for metric-depth sources (stereo nets, ToF, synthetic GT).
     """
+    assert depth_prior in ("normalized", "metric"), depth_prior
     if cache == "auto":
         from ..io import native
         if native.available():
             tag = f"{frame_start}_{frame_end}_{sample_rate}"
+            if depth_prior != "normalized":
+                tag += f"_{depth_prior}"
             cpath = os.path.join(root, f".fsio_cache_{tag}.fsc")
             if os.path.exists(cpath):
                 try:
@@ -85,7 +99,7 @@ def load_scared(root: str, frame_start: int = 0, frame_end: int = -1,
                 except Exception:
                     os.remove(cpath)  # stale/corrupt: rebuild below
             seq = load_scared(root, frame_start, frame_end, sample_rate,
-                              cache=None)
+                              cache=None, depth_prior=depth_prior)
             try:
                 native.write_sequence_cache(cpath, seq)
             except OSError:
@@ -136,7 +150,9 @@ def load_scared(root: str, frame_start: int = 0, frame_end: int = -1,
         disp = np.load(os.path.join(root,
                                     f"monodep/depth_{stem}.npz"))["pred"]
         dep = 1.0 / np.clip(disp, 1e-6, 1e6)
-        dep = (dep - dep.min()) / max(dep.max() - dep.min(), 1e-12) + 0.5
+        if depth_prior == "normalized":
+            dep = (dep - dep.min()) / max(dep.max() - dep.min(),
+                                          1e-12) + 0.5
         monodeps.append(dep.astype(np.float32))
 
     intrinsic = intrinsic.copy()

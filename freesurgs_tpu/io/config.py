@@ -27,6 +27,7 @@ class DataConfig:
     frame_start: int = 0
     frame_end: int = -1
     sample_rate: int = 8          # test split stride
+    depth_prior: str = "normalized"  # or "metric" (see data/scared.py)
 
 
 @dataclass

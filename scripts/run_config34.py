@@ -48,6 +48,12 @@ def main():
                          "progressive stage and continues the global "
                          "stage at the checkpoint's iteration (the "
                          "recovery path for TPU-worker crashes)")
+    ap.add_argument("--depth_prior", default="normalized",
+                    choices=["normalized", "metric"],
+                    help="depth-prior handling in the loader: 'normalized'"
+                         " is reference parity (per-frame [0.5,1.5] affine"
+                         " remap), 'metric' keeps 1/disparity as-is (for"
+                         " metric depth sources; see data/scared.py)")
     ap.add_argument("--use_gt_poses", action="store_true",
                     help="DIAGNOSTIC: skip tracking and train the map at "
                          "ground-truth poses — isolates the map-quality "
@@ -64,7 +70,8 @@ def main():
     enable_compilation_cache()
 
     os.makedirs(args.out, exist_ok=True)
-    seq = load_scared(args.data, 0, args.frames, sample_rate=8)
+    seq = load_scared(args.data, 0, args.frames, sample_rate=8,
+                      depth_prior=args.depth_prior)
     print(f"loaded {seq.num_frames} frames {seq.cam.width}x{seq.cam.height},"
           f" {len(seq.i_train)} train / {len(seq.i_test)} test", flush=True)
 
@@ -96,6 +103,7 @@ def main():
 
     summary = {"frames": args.frames,
                "use_gt_poses": bool(args.use_gt_poses),
+               "depth_prior": args.depth_prior,
                "rebin_every": args.rebin_every,
                "rebin_tracking_every": args.rebin_tracking_every,
                "init_active": int(trainer.field.num_active),

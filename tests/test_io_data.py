@@ -31,6 +31,22 @@ def test_scared_roundtrip(tmp_path):
     assert "k0" in seq.gt_poses and seq.gt_poses["k0"].shape == (4, 4, 4)
 
 
+def test_scared_metric_depth_prior(tmp_path):
+    """depth_prior="metric" keeps 1/disparity unchanged (true depth here,
+    since save_synthetic_as_scared writes disp = 1/true_depth), while the
+    default applies the reference's per-frame [0.5, 1.5] affine remap."""
+    scene = make_scene(num_frames=4, n_gaussians=100, height=32, width=48)
+    save_synthetic_as_scared(scene, str(tmp_path))
+    seq_m = load_scared(str(tmp_path), depth_prior="metric")
+    np.testing.assert_allclose(seq_m.monodeps, np.asarray(scene.depths),
+                               rtol=1e-5)
+    seq_n = load_scared(str(tmp_path))
+    assert 0.49 <= seq_n.monodeps.min() and seq_n.monodeps.max() <= 1.51
+    # the two modes must not share an fsio cache entry
+    assert abs(float(seq_m.monodeps.max())
+               - float(seq_n.monodeps.max())) > 1e-3
+
+
 def test_scared_split_longer(tmp_path):
     scene = make_scene(num_frames=10, n_gaussians=60, height=16, width=16)
     save_synthetic_as_scared(scene, str(tmp_path))

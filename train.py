@@ -47,7 +47,8 @@ def main(argv=None):
 
     logger = MetricsLogger(cfg.run.model_path)
     seq = load_scared(cfg.data.source_path, cfg.data.frame_start,
-                      cfg.data.frame_end, cfg.data.sample_rate)
+                      cfg.data.frame_end, cfg.data.sample_rate,
+                      depth_prior=cfg.data.depth_prior)
     logger.info(f"loaded {seq.num_frames} frames "
                 f"{seq.cam.width}x{seq.cam.height}, "
                 f"{len(seq.i_train)} train / {len(seq.i_test)} test")

@@ -79,6 +79,17 @@ class TrainConfig(NamedTuple):
     # (~10 px/iter early), so stale layouts cost accuracy faster there.
     rebin_every: int = 1
     rebin_tracking_every: int = 1
+    # Gauss-Newton flow-PnP pose initialization before the photometric
+    # Adam refinement (train/flow_pnp.py). Net-new quality lever over the
+    # reference: its 50 first-order Adam steps stall at ~43% of the init
+    # pose error on a frozen PERFECT map with exact flow
+    # (scripts/tracking_probe.py), and at ~79% relative per-frame
+    # translation error at full scale (BASELINE.md round-4 attribution) —
+    # while the flow term is an analytic dense-PnP problem GN solves to
+    # 0.03% in 2 iterations (11% under 0.5px flow + 2% depth noise).
+    # 0 restores exact reference tracking semantics.
+    tracking_gn_iters: int = 8
+    tracking_gn_huber_px: float = 2.0
     # renderer
     max_instances: int = 0
     # Hard ceiling for auto-size/overflow growth of the instance buffer:
@@ -114,7 +125,21 @@ def tracking_loop(field: GaussianField, quat0, trans0, gt_image, prev_depth,
 
     All Gaussian parameters are frozen (gs_grad=False). Returns
     (quat, trans, metrics dict). Fully jittable; iteration count static.
+
+    When cfg.tracking_gn_iters > 0 the pose is first refined by the
+    Gauss-Newton flow-PnP solve (train/flow_pnp.py) — same inputs as the
+    flow-reprojection loss, orders of magnitude closer to the optimum
+    than Adam's budget allows — and the reference's Adam loop then
+    fine-tunes photometrically from there. Frames whose previous frame
+    has no rendered-depth cache (test frames are never mapped) carry
+    zero effective GN weight and fall through to the init unchanged.
     """
+    if cfg.tracking_gn_iters > 0:
+        from .flow_pnp import flow_pnp_refine
+        quat0, trans0, _ = flow_pnp_refine(
+            quat0, trans0, prev_depth, prev_w2c, flow_fw_prev, cam,
+            rigid_mask=rigid_mask, iters=cfg.tracking_gn_iters,
+            huber_px=cfg.tracking_gn_huber_px)
     pose0 = {"q": quat0, "t": trans0}
     opt0 = adam_init(pose0)
     amortize = (cfg.rebin_tracking_every > 1 and mesh is None

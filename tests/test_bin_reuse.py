@@ -211,8 +211,12 @@ def test_tracking_rebin_every5_matches_every1():
 
     dq1, dt1 = run(1)
     dq5, dt5 = run(5)
-    assert dt5 < 1.5 * dt1 + 1e-5, (dt1, dt5)
-    assert dq5 < 1.5 * dq1 + 1e-5, (dq1, dq5)
+    # With the GN flow-PnP init (tracking_gn_iters default) both runs land
+    # at the sub-1e-3 noise floor of the photometric fine-tune, where a
+    # pure ratio is meaningless — the absolute floors below are ~30x
+    # tighter than the pre-GN errors this test was written against.
+    assert dt5 < 1.5 * dt1 + 5e-4, (dt1, dt5)
+    assert dq5 < 1.5 * dq1 + 5e-4, (dq1, dq5)
 
 
 def test_global_stage_frame_grouping_quality():

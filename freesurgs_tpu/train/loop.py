@@ -71,6 +71,19 @@ class Trainer:
     viewer: Any = None                    # GSViewer (or any object with
                                           # wait_if_paused/report): both
                                           # loops cooperate, train.py:227-231
+    pose_init: str = "const_velocity"     # tracking init for frames t>1:
+                                          # "const_velocity" (reference
+                                          # default, pose_optimizer.py:501)
+                                          # or "pnp" (RANSAC PnP on flow
+                                          # matches — the reference's
+                                          # pnp=True branch, :517-532)
+    metrics_logger: Any = None            # MetricsLogger (utils/logging):
+                                          # history rows stream to
+                                          # metrics.jsonl. Flushes happen
+                                          # at the log cadence (the rows
+                                          # hold device scalars; flushing
+                                          # converts long-finished values
+                                          # without a fresh device sync)
     panel_fn: Any = None                  # callable(name, hwc_img, step):
                                           # labeled comparison panels
                                           # (reference train.py:349-365)
@@ -387,9 +400,29 @@ class Trainer:
         return aux
 
     # ------------------------------------------------------------- stages
+    def _flush_history(self):
+        """Stream unflushed history rows to metrics.jsonl (no-op without a
+        metrics_logger). Called at the logging cadence: the rows' device
+        scalars are from already-finished steps, so the float conversions
+        do not stall the device queue the way per-frame reads would."""
+        if self.metrics_logger is None:
+            return
+        start = getattr(self, "_history_flushed", 0)
+        for row in self.history[start:]:
+            self.metrics_logger.log(
+                {k: (float(v) if hasattr(v, "__float__") else v)
+                 for k, v in row.items()})
+        self._history_flushed = len(self.history)
+
     def track_frame(self, t: int):
         if t > 1:
-            self.poses = posemod.const_velocity_init(self.poses, t)
+            if self.pose_init == "pnp":
+                self.poses = posemod.pnp_pose_init(
+                    self.poses, t, self.flows_fw[t - 1],
+                    self.state.pred_depths[t - 1].astype(jnp.float32),
+                    self.poses.w2c(t - 1), self.cam, seed=self.seed + t)
+            else:
+                self.poses = posemod.const_velocity_init(self.poses, t)
         elif t == 1:
             self.poses = posemod.copy_previous_init(self.poses, t)
         rigid = self._rigid_mask(t)
@@ -460,8 +493,10 @@ class Trainer:
                     + " | " + " ".join(f"{k}={float(v):.3g}"
                                        for k, v in h.items())
                     + f" ({time.time() - t0:.1f}s)")
+                self._flush_history()
         if pending is not None:
             self._drain_progressive_aux(*pending)
+        self._flush_history()
 
     def _drain_progressive_aux(self, frame: int, aux):
         """The deferred per-mapped-frame device-scalar reads (see
@@ -555,6 +590,9 @@ class Trainer:
                 self.history.append({"stage": "global_val", "iter": total,
                                      **{k: v for k, v in val.items()
                                         if isinstance(v, (int, float))}})
+            if total % 1000 < n:
+                self._flush_history()
+        self._flush_history()
 
     # --------------------------------------------------------- evaluation
     def render_frame(self, t: int):

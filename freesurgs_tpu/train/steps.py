@@ -134,9 +134,10 @@ def tracking_loop(field: GaussianField, quat0, trans0, gt_image, prev_depth,
     has no rendered-depth cache (test frames are never mapped) carry
     zero effective GN weight and fall through to the init unchanged.
     """
+    gn_diag = None
     if cfg.tracking_gn_iters > 0:
         from .flow_pnp import flow_pnp_refine
-        quat0, trans0, _ = flow_pnp_refine(
+        quat0, trans0, gn_diag = flow_pnp_refine(
             quat0, trans0, prev_depth, prev_w2c, flow_fw_prev, cam,
             rigid_mask=rigid_mask, iters=cfg.tracking_gn_iters,
             huber_px=cfg.tracking_gn_huber_px)
@@ -202,9 +203,17 @@ def tracking_loop(field: GaussianField, quat0, trans0, gt_image, prev_depth,
     pose, _, last, _ = jax.lax.fori_loop(
         0, cfg.tracking_iters, body,
         (pose0, opt0, jnp.zeros(4, jnp.float32), bins0))
-    return pose["q"], pose["t"], {"loss": last[0], "rgb_loss": last[1],
-                                  "flow_loss": last[2],
-                                  "nonfinite_grads": last[3]}
+    metrics = {"loss": last[0], "rgb_loss": last[1],
+               "flow_loss": last[2], "nonfinite_grads": last[3]}
+    if gn_diag is not None:
+        # Per-frame GN observability: final Huber-weighted mean flow-PnP
+        # residual (px) and the effective point weight. gn_weight below
+        # flow_pnp_refine's min_weight (64) means the degenerate-frame
+        # guard zeroed every GN step (the pose fell through to the init) —
+        # visible in metrics.jsonl instead of silently absorbed by Adam.
+        metrics["gn_resid_px"] = gn_diag[0]
+        metrics["gn_weight"] = gn_diag[1]
+    return pose["q"], pose["t"], metrics
 
 
 # -------------------------------------------------------------- mapping

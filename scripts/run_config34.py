@@ -48,6 +48,23 @@ def main():
                          "progressive stage and continues the global "
                          "stage at the checkpoint's iteration (the "
                          "recovery path for TPU-worker crashes)")
+    ap.add_argument("--tracking_gn_iters", type=int, default=8,
+                    help="Gauss-Newton flow-PnP iterations before the "
+                         "photometric Adam tracking refinement "
+                         "(train/flow_pnp.py); 0 = exact reference "
+                         "tracking semantics (the GN=0 A/B arm)")
+    ap.add_argument("--keyframe_policy", default="uniform",
+                    choices=["uniform", "overlap"],
+                    help="second-mapping-view selection: 'uniform' random "
+                         "keyframe (reference train.py:236-244) or "
+                         "'overlap' (the reference's defined-but-uncalled "
+                         "viewpoint-overlap variant, "
+                         "scene/pose_optimizer.py:534-577)")
+    ap.add_argument("--pose_init", default="const_velocity",
+                    choices=["const_velocity", "pnp"],
+                    help="tracking pose init for frames t>1 (the "
+                         "reference's initialize_pose pnp flag, "
+                         "scene/pose_optimizer.py:498-532)")
     ap.add_argument("--depth_prior", default="normalized",
                     choices=["normalized", "metric"],
                     help="depth-prior handling in the loader: 'normalized'"
@@ -77,9 +94,14 @@ def main():
 
     cfg = TrainConfig(global_iters=args.global_iters,
                       rebin_every=args.rebin_every,
-                      rebin_tracking_every=args.rebin_tracking_every)
+                      rebin_tracking_every=args.rebin_tracking_every,
+                      tracking_gn_iters=args.tracking_gn_iters,
+                      keyframe_policy=args.keyframe_policy)
+    from freesurgs_tpu.utils.logging import MetricsLogger
     trainer = Trainer(seq, cfg, global_chunk=args.global_chunk,
                       log_fn=lambda m: print(m, flush=True),
+                      pose_init=args.pose_init,
+                      metrics_logger=MetricsLogger(args.out),
                       checkpoint_dir=(args.out if args.checkpoint_every
                                       else None),
                       checkpoint_every=args.checkpoint_every or 5000)
@@ -103,6 +125,9 @@ def main():
 
     summary = {"frames": args.frames,
                "use_gt_poses": bool(args.use_gt_poses),
+               "tracking_gn_iters": args.tracking_gn_iters,
+               "keyframe_policy": args.keyframe_policy,
+               "pose_init": args.pose_init,
                "depth_prior": args.depth_prior,
                "rebin_every": args.rebin_every,
                "rebin_tracking_every": args.rebin_tracking_every,

@@ -83,4 +83,46 @@ def make_jitted_refine():
                                     "impl", "max_instances"))
 
 
-__all__ = ["refine_pose", "make_jitted_refine"]
+def refine_poses_scan(field: GaussianField, quats_all, trans_all,
+                      colors_all, ts, cam: Camera, *, iters: int = 25,
+                      lr: float = 1e-3, sh_degree: int = 0,
+                      impl: str | None = None, max_instances: int = 0):
+    """Refine many frames' poses against the frozen map in ONE jitted call.
+
+    The training-time pose-BA pass (net-new over the reference, whose
+    global stage never revisits poses — ``train.py:378-443``): the
+    round-4/5 full-scale attribution measured psnr_train == psnr_test
+    with ~78% relative per-frame translation error, i.e. the map is
+    uniformly blurred by mutually inconsistent pose supervision.
+    Alternating this pass with mapping chunks is block-coordinate descent
+    on the joint photometric objective — the classical SLAM final-BA
+    move, expressed TPU-style as a ``lax.scan`` over frames with the
+    monotone best-pose ``refine_pose`` inner loop (a pose can only
+    improve or keep its tracked value).
+
+    ts: (K,) int32 frame indices to refine (pass train frames, usually
+    excluding the pinned frame 0). Returns updated (quats_all, trans_all)
+    with rows at ``ts`` replaced and a (K,) final-loss vector.
+    """
+
+    def body(carry, t):
+        q_all, t_all = carry
+        gt = jax.lax.dynamic_index_in_dim(colors_all, t, 0, False)
+        q, tr, loss = refine_pose(field, q_all[t], t_all[t], gt, cam,
+                                  iters=iters, lr=lr, sh_degree=sh_degree,
+                                  impl=impl, max_instances=max_instances)
+        return (q_all.at[t].set(q), t_all.at[t].set(tr)), loss
+
+    (quats_all, trans_all), losses_out = jax.lax.scan(
+        body, (quats_all, trans_all), jnp.asarray(ts, jnp.int32))
+    return quats_all, trans_all, losses_out
+
+
+def make_jitted_refine_scan():
+    return jax.jit(refine_poses_scan,
+                   static_argnames=("cam", "iters", "lr", "sh_degree",
+                                    "impl", "max_instances"))
+
+
+__all__ = ["refine_pose", "make_jitted_refine", "refine_poses_scan",
+           "make_jitted_refine_scan"]

@@ -77,6 +77,36 @@ class Trainer:
                                           # or "pnp" (RANSAC PnP on flow
                                           # matches — the reference's
                                           # pnp=True branch, :517-532)
+    cache_test_frames: bool = True        # after tracking a TEST frame,
+                                          # render+cache its depth/color.
+                                          # Test frames are never mapped,
+                                          # so the reference leaves their
+                                          # prediction cache empty
+                                          # (train.py:341-345) and the
+                                          # NEXT frame's flow losses (and
+                                          # our GN flow-PnP, which guards
+                                          # to a no-op on zero depth) run
+                                          # blind — ~1/8 of frames on the
+                                          # every-8th test split. One
+                                          # forward render per test frame
+                                          # closes the gap; False =
+                                          # reference-literal behavior
+    pose_ba_every: int = 0                # global-stage pose BA cadence
+                                          # (0 = off, reference parity —
+                                          # the reference never revisits
+                                          # poses after tracking,
+                                          # train.py:378-443). When >0,
+                                          # every N global iters the train
+                                          # -frame poses are photometric-
+                                          # ally refined against the
+                                          # frozen map (monotone best-pose
+                                          # refine, eval/pose_refine.py)
+                                          # — block-coordinate descent on
+                                          # the joint objective targeting
+                                          # the measured mutual-
+                                          # inconsistency blur
+    pose_ba_iters: int = 25
+    pose_ba_lr: float = 1e-3
     metrics_logger: Any = None            # MetricsLogger (utils/logging):
                                           # history rows stream to
                                           # metrics.jsonl. Flushes happen
@@ -456,6 +486,17 @@ class Trainer:
             metrics = {}
             if t > 0:
                 metrics = self.track_frame(t)
+            if t not in i_train and self.cache_test_frames:
+                # see the cache_test_frames knob: keep the flow/GN depth
+                # chain alive across unmapped test frames
+                out = self.render_frame(t)
+                st = self.state
+                self.state = st._replace(
+                    pred_depths=st.pred_depths.at[t].set(
+                        out["render_dep"].astype(st.pred_depths.dtype)),
+                    pred_colors=st.pred_colors.at[t].set(
+                        jnp.clip(out["render"], 0.0, 1.0
+                                 ).astype(st.pred_colors.dtype)))
             if t in i_train:
                 self._update_sh_degree()
                 n_it = (self.cfg.first_frame_mapping_iters if t == 0
@@ -558,6 +599,8 @@ class Trainer:
                 self._viewer_tick(n * timer.rays_per_sec)
             total = total_before + done
             self._global_done = total
+            if self.pose_ba_every and total % self.pose_ba_every < n:
+                w2c_all = self._pose_ba_pass(total)
             if (self.checkpoint_dir
                     and total % self.checkpoint_every < n):
                 self.save(f"{self.checkpoint_dir}/ckpt_{total:07d}")
@@ -593,6 +636,29 @@ class Trainer:
             if total % 1000 < n:
                 self._flush_history()
         self._flush_history()
+
+    def _pose_ba_pass(self, total: int):
+        """One global-stage pose-BA pass (see the pose_ba_every knob):
+        photometrically refine every train-frame pose (except pinned
+        frame 0) against the frozen map, in one jitted scan. Returns the
+        refreshed stop-gradient w2c_all for subsequent mapping chunks."""
+        from ..eval.pose_refine import make_jitted_refine_scan
+        if not hasattr(self, "_refine_scan"):
+            self._refine_scan = make_jitted_refine_scan()
+        ts = jnp.asarray([t for t in self.seq.i_train if t != 0],
+                         jnp.int32)
+        q_all, t_all, losses_v = self._refine_scan(
+            self.field, self.poses.quats, self.poses.trans, self.colors,
+            ts, self.cam, iters=self.pose_ba_iters, lr=self.pose_ba_lr,
+            sh_degree=self.active_sh_degree,
+            impl=self.cfg.impl, max_instances=self.cfg.max_instances)
+        self.poses = PoseTable(quats=q_all, trans=t_all)
+        self.log_fn(f"[global {total}] pose-BA pass over {len(ts)} train "
+                    f"frames: mean photometric loss "
+                    f"{float(jnp.mean(losses_v)):.4f}")
+        self.history.append({"stage": "pose_ba", "iter": total,
+                             "mean_loss": float(jnp.mean(losses_v))})
+        return jax.lax.stop_gradient(self.poses.all_w2c())
 
     # --------------------------------------------------------- evaluation
     def render_frame(self, t: int):

@@ -65,6 +65,13 @@ def main():
                     help="tracking pose init for frames t>1 (the "
                          "reference's initialize_pose pnp flag, "
                          "scene/pose_optimizer.py:498-532)")
+    ap.add_argument("--pose_ba_every", type=int, default=0,
+                    help="global-stage pose-BA cadence (net-new over the "
+                         "reference; 0 = off): every N global iters, "
+                         "photometrically refine train-frame poses "
+                         "against the frozen map (monotone best-pose)")
+    ap.add_argument("--pose_ba_iters", type=int, default=25)
+    ap.add_argument("--pose_ba_lr", type=float, default=1e-3)
     ap.add_argument("--depth_prior", default="normalized",
                     choices=["normalized", "metric"],
                     help="depth-prior handling in the loader: 'normalized'"
@@ -101,6 +108,9 @@ def main():
     trainer = Trainer(seq, cfg, global_chunk=args.global_chunk,
                       log_fn=lambda m: print(m, flush=True),
                       pose_init=args.pose_init,
+                      pose_ba_every=args.pose_ba_every,
+                      pose_ba_iters=args.pose_ba_iters,
+                      pose_ba_lr=args.pose_ba_lr,
                       metrics_logger=MetricsLogger(args.out),
                       checkpoint_dir=(args.out if args.checkpoint_every
                                       else None),
@@ -128,6 +138,7 @@ def main():
                "tracking_gn_iters": args.tracking_gn_iters,
                "keyframe_policy": args.keyframe_policy,
                "pose_init": args.pose_init,
+               "pose_ba_every": args.pose_ba_every,
                "depth_prior": args.depth_prior,
                "rebin_every": args.rebin_every,
                "rebin_tracking_every": args.rebin_tracking_every,

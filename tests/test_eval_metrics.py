@@ -201,3 +201,41 @@ def test_pose_refine_never_hurts(rng):
             sh_degree=0, impl="pallas_interpret", max_instances=8192)
         l_ref = loss_at(q1, t1)
         assert l_ref <= l_init + 1e-6, (lr, l_init, l_ref)
+
+
+def test_refine_poses_scan_improves_perturbed_poses():
+    """The global-stage pose-BA pass (eval/pose_refine.refine_poses_scan):
+    perturbed train poses refined against a frozen good map move toward
+    ground truth, frame 0 / untouched frames stay bitwise identical, and
+    the monotone best-pose carry guarantees no frame gets worse in loss."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from freesurgs_tpu.data.synthetic import make_scene
+    from freesurgs_tpu.eval.pose_refine import refine_poses_scan
+    from tests.test_training_steps import field_from_scene
+
+    sc = make_scene(num_frames=4, n_gaussians=150, height=64, width=64,
+                    seed=13)
+    field = field_from_scene(sc, cap=256, perturb=0.0)
+    rng = np.random.default_rng(5)
+    dq = jnp.asarray(rng.normal(size=(4, 4)).astype(np.float32)) * 0.01
+    dt = jnp.asarray(rng.normal(size=(4, 3)).astype(np.float32)) * 0.01
+    q_pert = sc.gt_quats + dq
+    t_pert = sc.gt_trans + dt
+    ts = jnp.asarray([1, 2], jnp.int32)
+
+    q_new, t_new, losses_v = refine_poses_scan(
+        field, q_pert, t_pert, sc.colors, ts, sc.cam, iters=30, lr=3e-3,
+        impl="oracle")
+
+    for t in (1, 2):
+        err0 = float(jnp.linalg.norm(t_pert[t] - sc.gt_trans[t]))
+        err1 = float(jnp.linalg.norm(t_new[t] - sc.gt_trans[t]))
+        assert err1 < err0, (t, err1, err0)
+    # untouched frames bitwise unchanged
+    np.testing.assert_array_equal(np.asarray(q_new[0]),
+                                  np.asarray(q_pert[0]))
+    np.testing.assert_array_equal(np.asarray(t_new[3]),
+                                  np.asarray(t_pert[3]))
+    assert np.all(np.isfinite(np.asarray(losses_v)))

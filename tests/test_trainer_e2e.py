@@ -230,3 +230,63 @@ def test_right_size_instances(trained):
         tr.global_run(25)   # still trains at the tighter buffer
         last = tr.history[-1]
         assert np.isfinite(last["loss"])
+
+
+def test_global_pose_ba_wiring():
+    """pose_ba_every wiring: the BA pass runs at its cadence inside
+    global_run, updates train poses (frame 0 pinned), and training
+    continues healthily afterwards."""
+    import jax.numpy as jnp
+
+    scene = make_scene(num_frames=4, n_gaussians=300, height=48, width=64,
+                       seed=6)
+    seq = SeqAdapter(scene)
+    cfg = TrainConfig(
+        tracking_iters=8, mapping_iters=6, first_frame_mapping_iters=15,
+        densify_interval=10_000, opacity_reset_interval=10_000,
+        max_instances=16384, impl="pallas_interpret",
+        densify=DensifyConfig())
+    tr = Trainer(seq, cfg, sh_degree_max=0, global_chunk=10,
+                 capacity=4096, log_fn=lambda *a: None,
+                 pose_ba_every=10, pose_ba_iters=5, validation_every=0)
+    tr.progressive_run()
+    q_before = np.asarray(tr.poses.quats).copy()
+    t_before = np.asarray(tr.poses.trans).copy()
+    tr.global_run(20)
+    ba_rows = [h for h in tr.history if h.get("stage") == "pose_ba"]
+    assert len(ba_rows) == 2   # cadence 10 over 20 iters
+    assert np.isfinite(ba_rows[-1]["mean_loss"])
+    # frame 0 pinned; some train pose moved (or stayed if already optimal
+    # — assert at least the tables are finite and frame 0 untouched)
+    np.testing.assert_array_equal(np.asarray(tr.poses.quats[0]),
+                                  q_before[0])
+    np.testing.assert_array_equal(np.asarray(tr.poses.trans[0]),
+                                  t_before[0])
+    assert np.all(np.isfinite(np.asarray(tr.poses.quats)))
+    assert np.all(np.isfinite(np.asarray(tr.poses.trans)))
+
+
+def test_cache_test_frames_fills_depth_chain():
+    """cache_test_frames: after progressive, an unmapped TEST frame's
+    prediction cache holds a real rendered depth (the flow/GN chain for
+    the following frame), and reference-literal mode leaves it empty."""
+    scene = make_scene(num_frames=4, n_gaussians=300, height=48, width=64,
+                       seed=6)
+    seq = SeqAdapter(scene)
+    seq.i_train = np.asarray([0, 1, 3])
+    seq.i_test = np.asarray([2])
+    cfg = TrainConfig(
+        tracking_iters=6, mapping_iters=5, first_frame_mapping_iters=10,
+        densify_interval=10_000, opacity_reset_interval=10_000,
+        max_instances=16384, impl="pallas_interpret",
+        densify=DensifyConfig())
+
+    def run(cache):
+        tr = Trainer(seq, cfg, sh_degree_max=0, global_chunk=10,
+                     capacity=4096, log_fn=lambda *a: None,
+                     cache_test_frames=cache, validation_every=0)
+        tr.progressive_run()
+        return float(np.abs(np.asarray(tr.state.pred_depths[2])).sum())
+
+    assert run(True) > 0.0
+    assert run(False) == 0.0

@@ -72,6 +72,19 @@ def main():
                          "against the frozen map (monotone best-pose)")
     ap.add_argument("--pose_ba_iters", type=int, default=25)
     ap.add_argument("--pose_ba_lr", type=float, default=1e-3)
+    ap.add_argument("--pose_ba_final", type=int, default=0,
+                    help="AFTER the main summary is written: attempt N "
+                         "monotone pose-BA passes against the final map, "
+                         "re-validate, and write summary_ba.json. Crash-"
+                         "safe ordering — the first full-scale MID-global "
+                         "BA pass crashed the TPU worker (cfg34_r5b), so "
+                         "the final-stage variant runs only once the main "
+                         "record is on disk, with a right-sized instance "
+                         "buffer, and any failure is caught and logged")
+    ap.add_argument("--pose_ba_polish", type=int, default=0,
+                    help="global mapping iterations run after each final "
+                         "BA pass (lets the map adapt to the moved poses "
+                         "before the re-validation)")
     ap.add_argument("--depth_prior", default="normalized",
                     choices=["normalized", "metric"],
                     help="depth-prior handling in the loader: 'normalized'"
@@ -206,6 +219,35 @@ def main():
     with open(os.path.join(args.out, "summary.json"), "w") as f:
         json.dump(summary, f, indent=1)
     print(json.dumps(summary), flush=True)
+
+    if args.pose_ba_final:
+        # Post-summary experiment: the main record above is already on
+        # disk, so a TPU-worker crash here costs nothing but this stage.
+        try:
+            trainer.right_size_instances()
+            tba = time.time()
+            for k in range(args.pose_ba_final):
+                trainer._pose_ba_pass(done + k)
+                if args.pose_ba_polish:
+                    trainer.global_run(args.pose_ba_polish)
+                    done += args.pose_ba_polish
+            mba = trainer.validation(include_train=True)
+            sba = dict(summary)
+            sba["pose_ba_final_passes"] = args.pose_ba_final
+            sba["pose_ba_polish"] = args.pose_ba_polish
+            sba["pose_ba_s"] = round(time.time() - tba, 1)
+            sba.update({f"ba_{k}": (round(float(v), 5)
+                                    if isinstance(v, (float, np.floating))
+                                    else v)
+                        for k, v in mba.items()
+                        if isinstance(v, (int, float, np.integer,
+                                          np.floating, str))})
+            with open(os.path.join(args.out, "summary_ba.json"), "w") as f:
+                json.dump(sba, f, indent=1)
+            print(json.dumps(sba), flush=True)
+        except Exception as e:  # noqa: BLE001 — worker crashes land here
+            print(f"pose-BA final stage failed (main summary already "
+                  f"recorded): {e!r}", flush=True)
 
 
 if __name__ == "__main__":
